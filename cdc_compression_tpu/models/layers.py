@@ -1,0 +1,365 @@
+"""Primitive NN building blocks, NHWC / TPU-first.
+
+Behavioral spec: `epsilonparam/modules/network_components.py` (+ the
+x-variant's sinusoidal embeddings). Re-designed for TPU:
+
+* everything is NHWC — channels on the 128-lane axis, so 1x1 convs,
+  LayerNorm, and the attention einsums all vectorize on the VPU/MXU
+  without relayout;
+* padding is always explicit and matches PyTorch's symmetric padding so
+  converted reference checkpoints are numerically exact;
+* transposed convs are expressed as input-dilated convolutions
+  (`lax.conv_general_dilated` with ``lhs_dilation``), the canonical XLA
+  form, with the exact torch ``(kernel, stride, padding, output_padding)``
+  geometry.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.bounds import lower_bound
+
+# ---------------------------------------------------------------------------
+# conv wrappers with torch-exact geometry
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv_init(key, shape, dtype=jnp.float32):
+    """U(-b, b) with b = 1/sqrt(fan_in) — torch's default Conv2d init."""
+    kh, kw, cin, _ = shape
+    bound = 1.0 / math.sqrt(kh * kw * cin)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2d(nn.Module):
+    """Conv with explicit symmetric padding (torch Conv2d semantics)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param("kernel", _torch_conv_init, (k, k, x.shape[-1], self.features))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32,
+                    -1.0 / math.sqrt(k * k * x.shape[-1]),
+                    1.0 / math.sqrt(k * k * x.shape[-1]),
+                ),
+                (self.features,),
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed conv with torch ConvTranspose2d geometry.
+
+    Output size: ``(in - 1)*stride - 2*padding + kernel + output_padding``.
+    Implemented as an input-dilated convolution with a spatially flipped
+    kernel — the form XLA:TPU lowers directly onto the MXU.
+
+    The kernel parameter is stored (kh, kw, in, out); a torch weight
+    (in, out, kh, kw) converts by pure transpose (2,3,0,1).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        cin = x.shape[-1]
+        # torch convT fan_in = out_channels * k * k (weight shape (in,out,k,k), dim-1 fan)
+        bound = 1.0 / math.sqrt(k * k * self.features)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (k, k, cin, self.features),
+        )
+        # equivalent forward conv on the dilated input uses the spatially
+        # flipped kernel; (kh,kw,in,out) is already HWIO for that conv
+        w = jnp.flip(kernel, (0, 1))
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((k - 1 - p, k - 1 - p + op), (k - 1 - p, k - 1 - p + op)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (network_components.py:45-53)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv2d(self.features, 3, stride=2, padding=1, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Stride-2 4x4 transposed conv (network_components.py:34-42)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return ConvTranspose2d(self.features, 4, stride=2, padding=1, name="conv")(x)
+
+
+# ---------------------------------------------------------------------------
+# norms / blocks
+# ---------------------------------------------------------------------------
+
+
+class ChannelLayerNorm(nn.Module):
+    """Channelwise LayerNorm with biased variance (network_components.py:56-66).
+
+    NHWC: reduces over the last axis; one fused VPU pass under XLA.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        g = self.param("g", nn.initializers.ones, (dim,))
+        b = self.param("b", nn.initializers.zeros, (dim,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * g + b).astype(x.dtype)
+
+
+class Block(nn.Module):
+    """conv(3|7) + LayerNorm + ReLU (network_components.py:83-91)."""
+
+    features: int
+    large: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k, p = (7, 3) if self.large else (3, 1)
+        x = Conv2d(self.features, k, padding=p, name="conv")(x)
+        x = ChannelLayerNorm(name="norm")(x)
+        return nn.relu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with a time-bias injection and 1x1 skip
+    (network_components.py:94-114)."""
+
+    features: int
+    time_emb_dim: Optional[int] = None
+    large: bool = False
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        h = Block(self.features, large=self.large, name="block1")(x)
+        if time_emb is not None:
+            assert self.time_emb_dim is not None
+            t = nn.Dense(
+                self.features,
+                name="time_mlp",
+                kernel_init=_dense_torch_init,
+                bias_init=_dense_torch_bias_init,
+            )(nn.leaky_relu(time_emb, 0.2))
+            h = h + t[:, None, None, :].astype(h.dtype)
+        h = Block(self.features, name="block2")(h)
+        if x.shape[-1] != self.features:
+            x = Conv2d(self.features, 1, name="res_conv")(x)
+        return h + x
+
+
+def _dense_torch_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _dense_torch_bias_init(key, shape, dtype=jnp.float32):
+    # flax passes only the bias shape; approximate torch's U(-1/sqrt(fan_in),..)
+    # with zeros — bias init scale is immaterial for training parity.
+    return jnp.zeros(shape, dtype)
+
+
+class LinearAttention(nn.Module):
+    """Softmax-over-keys linear attention (network_components.py:117-139).
+
+    O(N·d²) instead of O(N²·d): the KV summary ``context[d,e] = Σ_n
+    softmax(k)_d[n] v_e[n]`` is a (d×d) matrix — on TPU both einsums are
+    MXU GEMMs, and under spatial tile parallelism the summary (plus the
+    key-softmax normalizer) is exactly `psum`-reducible across tiles.
+    """
+
+    heads: int = 1
+    dim_head: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        dh = self.dim_head if self.dim_head is not None else c
+        hidden = dh * self.heads
+        scale = dh ** -0.5
+        qkv = Conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, dh)
+        q = q * scale
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, h, w, hidden)
+        return Conv2d(c, 1, name="to_out")(out)
+
+
+class PreNormLinearAttention(nn.Module):
+    """Residual(PreNorm(LinearAttention)) fused wrapper (unet.py usage)."""
+
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = ChannelLayerNorm(name="norm")(x)
+        y = LinearAttention(heads=self.heads, name="attn")(y)
+        return x + y
+
+
+# ---------------------------------------------------------------------------
+# conditioning / codec-specific layers
+# ---------------------------------------------------------------------------
+
+
+class VBRCondition(nn.Module):
+    """FiLM scale/shift from a scalar bitrate knob
+    (network_components.py:304-314)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, cond):
+        cond = cond.reshape(-1, 1, 1, 1).astype(x.dtype)
+        scale = Conv2d(self.features, 1, name="scale")(cond)
+        shift = Conv2d(self.features, 1, name="shift")(cond)
+        return x * scale + shift
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization (network_components.py:317-412).
+
+    ``simplified=True`` is GDN1: |x| pooling, no sqrt. The channel mixing
+    is a 1x1 conv → a single MXU GEMM in NHWC.
+    """
+
+    inverse: bool = False
+    simplified: bool = True
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2 ** -18
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        pedestal = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        beta = self.param(
+            "beta", lambda k, s: jnp.sqrt(jnp.ones(s) + pedestal), (ch,)
+        )
+        gamma = self.param(
+            "gamma",
+            lambda k, s: jnp.sqrt(self.gamma_init * jnp.eye(ch) + pedestal),
+            (ch, ch),
+        )
+        beta = jnp.square(lower_bound(beta, beta_bound)) - pedestal
+        gamma = jnp.square(lower_bound(gamma, gamma_bound)) - pedestal
+
+        pooled = jnp.abs(x) if self.simplified else jnp.square(x)
+        # gamma[j, i]: contribution of input channel j to output i
+        norm = jnp.einsum("bhwj,ji->bhwi", pooled.astype(jnp.float32), gamma) + beta
+        if not self.simplified:
+            norm = jnp.sqrt(norm)
+        norm = norm.astype(x.dtype)
+        return x * norm if self.inverse else x / norm
+
+
+# ---------------------------------------------------------------------------
+# time embeddings
+# ---------------------------------------------------------------------------
+
+
+class TimeEmbedding01(nn.Module):
+    """t/T scalar -> Linear(1,4d) -> GELU -> Linear(4d,d) (unet.py:40)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        # t: (B, 1) float in [0, 1]
+        h = nn.Dense(self.dim * 4, name="fc1", kernel_init=_dense_torch_init)(t)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, name="fc2", kernel_init=_dense_torch_init)(h)
+
+
+class ImprovedSinusoidalPosEmb(nn.Module):
+    """Random-Fourier time embedding (xparam/network_components.py:154-170)."""
+
+    dim: int  # half_dim count of random frequencies
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B,) float timestep index
+        half_dim = self.dim // 2
+        weights = self.param("weights", nn.initializers.normal(1.0), (half_dim,))
+        x = x.reshape(-1, 1)
+        freqs = x * weights[None, :] * (2 * math.pi)
+        return jnp.concatenate([x, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class TimeEmbeddingIndex(nn.Module):
+    """ImprovedSinusoidalPosEmb -> MLP (xparam/unet.py:42-49)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        # t: (B,) integer-valued float timestep
+        emb = ImprovedSinusoidalPosEmb(self.dim // 2, name="pos")(t.reshape(-1).astype(jnp.float32))
+        h = nn.Dense(self.dim * 4, name="fc1", kernel_init=_dense_torch_init)(emb)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, name="fc2", kernel_init=_dense_torch_init)(h)

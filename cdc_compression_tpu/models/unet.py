@@ -1,0 +1,96 @@
+"""Conditional U-Net denoiser.
+
+Behavioral spec: `epsilonparam/modules/unet.py` / `xparam/modules/unet.py`.
+Six-resolution encoder/decoder of paired ResnetBlocks + linear attention,
+with the compressor's context pyramid channel-concatenated at the first
+`len(context)` levels, a time-MLP bias in every ResnetBlock, and a
+LayerNorm→7x7 head.
+
+TPU design: NHWC, static shapes, channel-concat context injection (the
+concats are free under XLA fusion), and attention whose global state is
+O(d²) — see `layers.LinearAttention` for why that makes intra-image tile
+parallelism exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    Block,
+    ChannelLayerNorm,
+    Conv2d,
+    Downsample,
+    PreNormLinearAttention,
+    ResnetBlock,
+    TimeEmbedding01,
+    TimeEmbeddingIndex,
+    Upsample,
+)
+
+
+class Unet(nn.Module):
+    dim: int = 64
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 3, 4, 5, 6)
+    context_dim_mults: Sequence[int] = (1, 2, 3, 4)
+    channels: int = 3
+    context_channels: int = 3
+    with_time_emb: bool = True
+    embd_type: str = "01"
+
+    @nn.compact
+    def __call__(self, x, time=None, context=()):
+        """x: (B,H,W,C) noisy image; time: (B,1) in [0,1] ("01") or (B,)
+        index ("index"); context: coarse-to-fine-reversed pyramid, finest
+        first, concatenated at down levels 0..len(context)-1."""
+        dims = [self.channels, *(self.dim * m for m in self.dim_mults)]
+        num_resolutions = len(dims) - 1
+
+        if self.with_time_emb:
+            if self.embd_type == "01":
+                t = TimeEmbedding01(self.dim, name="time_mlp")(time)
+            elif self.embd_type == "index":
+                t = TimeEmbeddingIndex(self.dim, name="time_mlp")(time)
+            else:
+                raise NotImplementedError(self.embd_type)
+        else:
+            t = None
+        time_dim = self.dim if self.with_time_emb else None
+
+        h = []
+        for ind in range(num_resolutions):
+            is_last = ind >= num_resolutions - 1
+            dim_out = dims[ind + 1]
+            if ind < len(context):
+                x = jnp.concatenate([x, context[ind].astype(x.dtype)], axis=-1)
+            x = ResnetBlock(
+                dim_out, time_emb_dim=time_dim, large=(ind == 0), name=f"down_{ind}_res1"
+            )(x, t)
+            x = ResnetBlock(dim_out, time_emb_dim=time_dim, name=f"down_{ind}_res2")(x, t)
+            x = PreNormLinearAttention(name=f"down_{ind}_attn")(x)
+            h.append(x)
+            if not is_last:
+                x = Downsample(dim_out, name=f"down_{ind}_downsample")(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, time_emb_dim=time_dim, name="mid_block1")(x, t)
+        x = PreNormLinearAttention(name="mid_attn")(x)
+        x = ResnetBlock(mid_dim, time_emb_dim=time_dim, name="mid_block2")(x, t)
+
+        # up path over reversed(in_out[1:]): level pairs (dim_in, dim_out)
+        up_pairs = list(zip(dims[1:-1], dims[2:]))[::-1]
+        for ind, (dim_in, dim_out) in enumerate(up_pairs):
+            x = jnp.concatenate([x, h.pop()], axis=-1)
+            x = ResnetBlock(dim_in, time_emb_dim=time_dim, name=f"up_{ind}_res1")(x, t)
+            x = ResnetBlock(dim_in, time_emb_dim=time_dim, name=f"up_{ind}_res2")(x, t)
+            x = PreNormLinearAttention(name=f"up_{ind}_attn")(x)
+            x = Upsample(dim_in, name=f"up_{ind}_upsample")(x)
+
+        out_dim = self.out_dim if self.out_dim is not None else self.channels
+        x = ChannelLayerNorm(name="final_norm")(x)
+        return Conv2d(out_dim, 7, padding=3, name="final_conv")(x)

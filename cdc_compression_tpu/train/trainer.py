@@ -1,0 +1,245 @@
+"""Training loop: optax optimizer, EMA, mixed precision, checkpoints.
+
+Behavioral spec: `epsilonparam/modules/trainer.py` / `xparam/modules/trainer.py`:
+* Adam/AdamW at lr 4e-5 with the LambdaLR factor max(decay^n, minf)
+  ticking once per step after `scheduler_checkpoint_step` (trainer.py:72,126-127);
+* the two-backward structure (RD loss + prior median loss) — here a single
+  grad of the summed loss, exact because the median loss's gradient support
+  is disjoint (see `FlexiblePrior.median_loss`);
+* x-variant extras: grad-clip 1.0, EMA(β=0.999, every 10, power 0.75),
+  AMP → bf16 compute on TPU (params stay fp32);
+* checkpoint rotation over 3 slots, TensorBoard scalars, periodic val
+  decode with bpp/PSNR logging.
+
+TPU-native: the train step is one jitted pure function, donating params
+and optimizer state; data parallelism is a `NamedSharding` over the
+`data` mesh axis — XLA inserts the gradient `psum` over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.gaussian import GaussianDiffusion
+from .ema import EMAConfig, EMAState, ema_init, ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 4e-5
+    optimizer: str = "adam"  # "adam" | "adamw"
+    n_steps: int = 1_000_000
+    scheduler_checkpoint_step: int = 100_000
+    lr_decay: float = 0.9
+    lr_min_factor: float = 0.5
+    grad_clip: Optional[float] = None  # x-variant: 1.0
+    use_ema: bool = False
+    ema: EMAConfig = EMAConfig()
+    bf16: bool = False  # cast activations/batch to bf16 inside the step
+    save_every: int = 5000
+    val_num_of_batch: int = 1
+    sample_steps: int = 200
+    sample_mode: str = "ddim"
+    results_dir: str = "./results"
+    tensorboard_dir: Optional[str] = None
+    model_name: str = "model"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class State:
+    params: Any
+    opt_state: Any
+    ema: Optional[EMAState]
+    step: jax.Array
+
+
+def make_lr_schedule(cfg: TrainConfig):
+    """lr · max(decay^max(0, step-ckpt), minf) — LambdaLR equivalent."""
+
+    def sched(step):
+        n = jnp.maximum(0, step - cfg.scheduler_checkpoint_step).astype(jnp.float32)
+        factor = jnp.maximum(cfg.lr_decay ** n, cfg.lr_min_factor)
+        return cfg.lr * factor
+
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg)
+    opt_cls = optax.adam if cfg.optimizer == "adam" else optax.adamw
+    chain = []
+    if cfg.grad_clip:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(opt_cls(learning_rate=sched))
+    return optax.chain(*chain)
+
+
+class Trainer:
+    def __init__(
+        self,
+        engine: GaussianDiffusion,
+        cfg: TrainConfig,
+        train_iter: Iterator[np.ndarray],
+        val_iter: Optional[Iterator[np.ndarray]] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.engine = engine
+        self.cfg = cfg
+        self.train_iter = train_iter
+        self.val_iter = val_iter
+        self.mesh = mesh
+        self.opt = make_optimizer(cfg)
+        self._writer = None
+        if cfg.tensorboard_dir:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(cfg.tensorboard_dir)
+        self._jit_step = self._build_step()
+
+    # -- state ----------------------------------------------------------
+    def init_state(self, params) -> State:
+        return State(
+            params=params,
+            opt_state=self.opt.init(params),
+            ema=ema_init(params) if self.cfg.use_ema else None,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- the jitted step ------------------------------------------------
+    def _build_step(self):
+        engine, cfg, opt = self.engine, self.cfg, self.opt
+
+        def step_fn(state: State, batch: jax.Array, rng: jax.Array):
+            """batch: (B,H,W,C) uint8-scaled floats in [0,1]."""
+            imgs = batch.astype(jnp.bfloat16 if cfg.bf16 else jnp.float32) * 2.0 - 1.0
+            imgs = imgs.astype(jnp.float32)
+
+            def loss_fn(params):
+                return engine.loss(params, imgs, rng)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = opt.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = (
+                ema_update(state.ema, new_params, cfg.ema) if state.ema is not None else None
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                State(new_params, new_opt, new_ema, state.step + 1),
+                metrics,
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data_sh = NamedSharding(self.mesh, P("data"))
+            return jax.jit(
+                step_fn,
+                in_shardings=(None, data_sh, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state: State, batch, rng) -> Tuple[State, Dict[str, jax.Array]]:
+        return self._jit_step(state, jnp.asarray(batch), rng)
+
+    # -- outer loop -----------------------------------------------------
+    def train(self, state: State, rng: jax.Array, num_steps: Optional[int] = None) -> State:
+        cfg = self.cfg
+        n = cfg.n_steps if num_steps is None else num_steps
+        step0 = int(state.step)
+        for i in range(step0, step0 + n):
+            batch = next(self.train_iter)
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, sub)
+            if self._writer is not None and i % 50 == 0:
+                for k, v in metrics.items():
+                    self._writer.add_scalar(k, float(v), i)
+            if i % cfg.save_every == 0 and i > step0:
+                self.validate(state, rng, global_step=i)
+                self.save(state)
+        self.save(state)
+        return state
+
+    def validate(self, state: State, rng: jax.Array, global_step: int = 0):
+        if self.val_iter is None:
+            return {}
+        cfg = self.cfg
+        params = state.ema.params if state.ema is not None else state.params
+        out = {}
+        for i in range(cfg.val_num_of_batch):
+            batch = jnp.asarray(next(self.val_iter))
+            imgs = batch * 2.0 - 1.0
+            decoded, bpp = self.engine.compress(
+                params, imgs, sample_steps=cfg.sample_steps, rng=rng,
+                sample_mode=cfg.sample_mode,
+            )
+            decoded01 = jnp.clip((decoded + 1) / 2, 0, 1)
+            mse = jnp.mean(jnp.square(decoded01 - batch))
+            psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+            out[f"val/bpp{i}"] = float(bpp)
+            out[f"val/psnr{i}"] = float(psnr)
+            if self._writer is not None:
+                self._writer.add_scalar(f"bpp/num{i}", float(bpp), global_step)
+                self._writer.add_scalar(f"psnr/num{i}", float(psnr), global_step)
+        return out
+
+    # -- checkpointing (orbax) -----------------------------------------
+    def _ckpt_dir(self, idx: int) -> Path:
+        return Path(self.cfg.results_dir).absolute() / f"{self.cfg.model_name}_{idx}"
+
+    def save(self, state: State):
+        import orbax.checkpoint as ocp
+
+        step = int(state.step)
+        idx = (step // self.cfg.save_every) % 3
+        path = self._ckpt_dir(idx)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": state.params, "opt_state": state.opt_state, "step": step}
+        if state.ema is not None:
+            payload["ema"] = {"params": state.ema.params, "step": state.ema.step}
+        ckptr.save(path / "state", payload, force=True)
+        ckptr.wait_until_finished()
+
+    def load(self, idx: int = 0, template: Optional[State] = None) -> State:
+        """Restore a checkpoint. Pass `template` (e.g. a fresh init_state)
+        to restore optax NamedTuple structure exactly; without it the
+        opt_state comes back as plain nested dicts (fine for inference)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        if template is not None:
+            tpl = {
+                "params": template.params,
+                "opt_state": template.opt_state,
+                "step": 0,
+            }
+            if template.ema is not None:
+                tpl["ema"] = {"params": template.ema.params, "step": template.ema.step}
+            payload = ckptr.restore(
+                self._ckpt_dir(idx) / "state",
+                jax.tree.map(ocp.utils.to_shape_dtype_struct, tpl),
+            )
+        else:
+            payload = ckptr.restore(self._ckpt_dir(idx) / "state")
+        ema = None
+        if "ema" in payload:
+            ema = EMAState(
+                params=payload["ema"]["params"], step=jnp.asarray(payload["ema"]["step"])
+            )
+        return State(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            ema=ema,
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )

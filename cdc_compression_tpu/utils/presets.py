@@ -1,0 +1,121 @@
+"""Model-family presets reproducing the two shipped reference configs.
+
+One typed factory per family (SURVEY §5 config-system note: the reference
+has three inconsistent config generations; here presets are the single
+source of truth).
+
+* `epsilon_family` — `epsilonparam/test_epsilonparam.py:27-56`:
+  ε-prediction, T=20000 linear, L1, 3-channel image-space context,
+  BigCompressor, clip "none", DDIM with t/sample_steps time input.
+* `x_family` — `xparam/test_xparam.py:29-61`: x̂₀-prediction, T=8193
+  cosine, SNR-weighted L2 (min 5), 64-channel context, ResnetCompressor,
+  EMA weights at inference, index/T time input.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from ..diffusion.gaussian import DiffusionConfig, GaussianDiffusion
+from ..models import BigCompressor, ResnetCompressor, Unet
+
+
+def epsilon_family(
+    *,
+    dim: int = 64,
+    lagrangian: float = 0.0032,
+    aux_loss_weight: float = 0.9,
+    aux_loss_type: str = "lpips",
+    vbr: bool = False,
+    num_timesteps: int = 20000,
+    perceptual_fn=None,
+) -> GaussianDiffusion:
+    unet = Unet(
+        dim=dim,
+        channels=3,
+        context_channels=3,
+        dim_mults=(1, 2, 3, 4, 5, 6),
+        context_dim_mults=(1, 2, 3, 4),
+    )
+    compressor = BigCompressor(
+        dim=dim,
+        dim_mults=(1, 2, 3, 4),
+        hyper_dims_mults=(4, 4, 4),
+        channels=3,
+        out_channels=3,
+        vbr=vbr,
+    )
+    cfg = DiffusionConfig(
+        num_timesteps=num_timesteps,
+        var_schedule="linear",
+        pred_mode="noise",
+        loss_type="l1",
+        lagrangian=lagrangian,
+        aux_loss_weight=aux_loss_weight,
+        aux_loss_type=aux_loss_type,
+        clip_noise="none",
+        vbr=vbr,
+        embd_type="01",
+        sample_time_convention="step_frac",
+    )
+    return GaussianDiffusion(unet, compressor, cfg, perceptual_fn=perceptual_fn)
+
+
+def x_family(
+    *,
+    dim: int = 64,
+    lagrangian: float = 0.0032,
+    aux_loss_weight: float = 0.0,
+    aux_loss_type: str = "lpips",
+    num_timesteps: int = 8193,
+    pred_mode: str = "x",
+    embd_type: str = "01",
+    use_loss_weight: bool = True,
+    loss_weight_min: float = 5.0,
+    perceptual_fn=None,
+) -> GaussianDiffusion:
+    unet = Unet(
+        dim=dim,
+        channels=3,
+        context_channels=dim,
+        dim_mults=(1, 2, 3, 4, 5, 6),
+        context_dim_mults=(1, 2, 3, 4),
+        embd_type=embd_type,
+    )
+    compressor = ResnetCompressor(
+        dim=dim,
+        dim_mults=(1, 2, 3, 4),
+        reverse_dim_mults=(4, 3, 2, 1),
+        hyper_dims_mults=(4, 4, 4),
+        channels=3,
+        out_channels=dim,
+    )
+    cfg = DiffusionConfig(
+        num_timesteps=num_timesteps,
+        var_schedule="cosine",
+        pred_mode=pred_mode,
+        loss_type="l2",
+        lagrangian=lagrangian,
+        aux_loss_weight=aux_loss_weight,
+        aux_loss_type=aux_loss_type,
+        use_loss_weight=use_loss_weight,
+        loss_weight_min=loss_weight_min,
+        embd_type=embd_type,
+        sample_time_convention="index_frac",
+    )
+    return GaussianDiffusion(unet, compressor, cfg, perceptual_fn=perceptual_fn)
+
+
+def init_params(engine: GaussianDiffusion, rng, image_hw: Tuple[int, int] = (256, 256)):
+    """Initialize a {unet, compressor} param tree for an engine."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = image_hw
+    k1, k2 = jax.random.split(jax.random.PRNGKey(rng) if isinstance(rng, int) else rng)
+    x = jnp.zeros((1, h, w, 3))
+    comp_params = engine.compressor.init(k2, x)
+    ctx = engine.compressor.apply(comp_params, x)["output"]
+    time0 = jnp.zeros((1, 1)) if engine.cfg.embd_type == "01" else jnp.zeros((1,))
+    unet_params = engine.unet.init(k1, x, time0, ctx)
+    return {"unet": unet_params, "compressor": comp_params}

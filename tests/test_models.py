@@ -1,0 +1,212 @@
+"""Layer/shape tests + golden parity vs the reference networks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cdc_compression_tpu import models
+
+
+def nhwc(a):
+    return np.transpose(a, (0, 2, 3, 1))
+
+
+def nchw(a):
+    return np.transpose(a, (0, 3, 1, 2))
+
+
+class TestConvGeometry:
+    @pytest.mark.parametrize("k,s,p", [(3, 1, 1), (3, 2, 1), (5, 2, 2), (7, 1, 3), (1, 1, 0)])
+    def test_conv2d_matches_torch(self, k, s, p):
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(k * 10 + s)
+        x = rng.randn(2, 6, 16, 12).astype(np.float32)  # NCHW for torch
+        w = rng.randn(8, 6, k, k).astype(np.float32)
+        b = rng.randn(8).astype(np.float32)
+        want = F.conv2d(torch.tensor(x), torch.tensor(w), torch.tensor(b), stride=s, padding=p).numpy()
+
+        m = models.Conv2d(8, k, stride=s, padding=p)
+        params = {"params": {"kernel": jnp.array(np.transpose(w, (2, 3, 1, 0))), "bias": jnp.array(b)}}
+        got = np.asarray(m.apply(params, jnp.array(nhwc(x))))
+        np.testing.assert_allclose(nchw(got), want, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("k,s,p,op", [(4, 2, 1, 0), (5, 2, 2, 1)])
+    def test_conv_transpose2d_matches_torch(self, k, s, p, op):
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(k)
+        x = rng.randn(2, 6, 8, 10).astype(np.float32)
+        w = rng.randn(6, 8, k, k).astype(np.float32)  # (in, out, k, k)
+        b = rng.randn(8).astype(np.float32)
+        want = F.conv_transpose2d(
+            torch.tensor(x), torch.tensor(w), torch.tensor(b), stride=s, padding=p, output_padding=op
+        ).numpy()
+
+        m = models.ConvTranspose2d(8, k, stride=s, padding=p, output_padding=op)
+        params = {"params": {"kernel": jnp.array(np.transpose(w, (2, 3, 0, 1))), "bias": jnp.array(b)}}
+        got = np.asarray(m.apply(params, jnp.array(nhwc(x))))
+        assert got.shape[1] == (x.shape[2] - 1) * s - 2 * p + k + op
+        np.testing.assert_allclose(nchw(got), want, rtol=1e-4, atol=1e-4)
+
+
+class TestLayerNorm:
+    def test_biased_variance_channelwise(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 4, 4, 16).astype(np.float32)
+        m = models.ChannelLayerNorm()
+        params = m.init(jax.random.PRNGKey(0), jnp.array(x))
+        got = np.asarray(m.apply(params, jnp.array(x)))
+        mean = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)  # biased
+        want = (x - mean) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestShapes:
+    def test_unet_shapes_tiny(self):
+        net = models.Unet(dim=8, dim_mults=(1, 2, 3, 4, 5, 6), context_dim_mults=(1, 2, 3, 4),
+                          channels=3, context_channels=3)
+        x = jnp.zeros((1, 64, 64, 3))
+        t = jnp.zeros((1, 1))
+        ctx = [
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 32, 32, 8)),
+            jnp.zeros((1, 16, 16, 16)),
+            jnp.zeros((1, 8, 8, 24)),
+        ]
+        params = net.init(jax.random.PRNGKey(0), x, t, ctx)
+        y = net.apply(params, x, t, ctx)
+        assert y.shape == (1, 64, 64, 3)
+
+    @pytest.mark.parametrize("cls,out_ch", [(models.ResnetCompressor, 8), (models.BigCompressor, 3)])
+    def test_compressor_pyramid(self, cls, out_ch):
+        comp = cls(dim=8, dim_mults=(1, 2, 3, 4), reverse_dim_mults=(4, 3, 2, 1),
+                   hyper_dims_mults=(4, 4, 4), channels=3, out_channels=out_ch)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = comp.init(jax.random.PRNGKey(0), x)
+        out = comp.apply(params, x)
+        pyr = out["output"]
+        assert len(pyr) == 4
+        assert pyr[0].shape == (1, 64, 64, out_ch)
+        assert pyr[1].shape == (1, 32, 32, 8)
+        assert pyr[2].shape == (1, 16, 16, 16)
+        assert pyr[3].shape == (1, 8, 8, 24)
+        assert out["bpp"].shape == (1,)
+        assert out["q_latent"].shape == (1, 4, 4, 32)
+        assert out["q_hyper_latent"].shape == (1, 1, 1, 32)
+
+    def test_simple_compressor_runs(self):
+        comp = models.SimpleCompressor(dim=8, dim_mults=(1, 2, 3, 3), hyper_dims_mults=(3, 3, 3),
+                                       channels=3, out_channels=3)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = comp.init(jax.random.PRNGKey(0), x)
+        out = comp.apply(params, x)
+        assert len(out["output"]) == 4
+        assert out["output"][0].shape == (1, 64, 64, 3)
+
+    def test_vbr_compressor_runs(self):
+        comp = models.BigCompressor(dim=8, dim_mults=(1, 2, 3, 4), hyper_dims_mults=(4, 4, 4),
+                                    channels=3, out_channels=3, vbr=True)
+        x = jnp.zeros((1, 64, 64, 3))
+        cond = jnp.array([0.5])
+        params = comp.init(jax.random.PRNGKey(0), x, cond)
+        out = comp.apply(params, x, cond)
+        assert out["output"][0].shape == (1, 64, 64, 3)
+
+
+@pytest.mark.golden
+class TestGoldenNetworks:
+    def test_resnet_block_matches(self, reference_modules):
+        ref = reference_modules
+        torch = ref.torch
+        torch.manual_seed(0)
+        rb = ref.nc.ResnetBlock(6, 12, time_emb_dim=16, large=True).eval()
+
+        from cdc_compression_tpu.utils import convert
+
+        sd = convert._SD(rb.state_dict())
+        params = convert._to_jnp(
+            convert.convert_resnet_block(sd, has_time=True, has_res_conv=True)
+        )
+        m = models.ResnetBlock(12, time_emb_dim=16, large=True)
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 6, 16, 16).astype(np.float32)
+        t = rng.randn(2, 16).astype(np.float32)
+        with torch.no_grad():
+            want = rb(torch.tensor(x), torch.tensor(t)).numpy()
+        got = np.asarray(m.apply({"params": params}, jnp.array(nhwc(x)), jnp.array(t)))
+        np.testing.assert_allclose(nchw(got), want, rtol=1e-3, atol=1e-4)
+
+    def test_linear_attention_matches(self, reference_modules):
+        ref = reference_modules
+        torch = ref.torch
+        torch.manual_seed(0)
+        la = ref.nc.Residual(ref.nc.PreNorm(12, ref.nc.LinearAttention(12))).eval()
+
+        from cdc_compression_tpu.utils import convert
+
+        params = convert._to_jnp(convert.convert_attention(convert._SD(la.state_dict())))
+        m = models.PreNormLinearAttention()
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 12, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            want = la(torch.tensor(x)).numpy()
+        got = np.asarray(m.apply({"params": params}, jnp.array(nhwc(x))))
+        np.testing.assert_allclose(nchw(got), want, rtol=1e-3, atol=1e-4)
+
+    def test_unet_matches(self, reference_modules):
+        ref = reference_modules
+        torch = ref.torch
+        torch.manual_seed(0)
+        runet = ref.unet.Unet(
+            dim=8, channels=3, context_channels=3, dim_mults=(1, 2, 3, 4), context_dim_mults=(1, 2)
+        ).eval()
+
+        from cdc_compression_tpu.utils import convert
+
+        params = convert._to_jnp(
+            convert.convert_unet(convert._SD(runet.state_dict()), n_levels=4)
+        )
+        m = models.Unet(dim=8, dim_mults=(1, 2, 3, 4), context_dim_mults=(1, 2),
+                        channels=3, context_channels=3)
+        rng = np.random.RandomState(3)
+        x = rng.randn(1, 3, 32, 32).astype(np.float32)
+        t = rng.rand(1, 1).astype(np.float32)
+        ctx = [rng.randn(1, 3, 32, 32).astype(np.float32), rng.randn(1, 8, 16, 16).astype(np.float32)]
+        with torch.no_grad():
+            want = runet(torch.tensor(x), torch.tensor(t), [torch.tensor(c) for c in ctx]).numpy()
+        got = np.asarray(
+            m.apply({"params": params}, jnp.array(nhwc(x)), jnp.array(t), [jnp.array(nhwc(c)) for c in ctx])
+        )
+        np.testing.assert_allclose(nchw(got), want, rtol=1e-3, atol=1e-3)
+
+    def test_compressor_matches(self, reference_modules):
+        ref = reference_modules
+        torch = ref.torch
+        torch.manual_seed(0)
+        rcomp = ref.cm.BigCompressor(
+            dim=8, dim_mults=(1, 2, 3, 4), hyper_dims_mults=(4, 4, 4), channels=3, out_channels=3
+        ).eval()
+
+        from cdc_compression_tpu.utils import convert
+
+        params = convert._to_jnp(convert.convert_compressor(convert._SD(rcomp.state_dict())))
+        m = models.BigCompressor(dim=8, dim_mults=(1, 2, 3, 4), hyper_dims_mults=(4, 4, 4),
+                                 channels=3, out_channels=3)
+        rng = np.random.RandomState(4)
+        x = rng.randn(1, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            want = rcomp(torch.tensor(x))
+        got = m.apply({"params": params}, jnp.array(nhwc(x)))
+        for i, (g, w) in enumerate(zip(got["output"], want["output"])):
+            np.testing.assert_allclose(
+                nchw(np.asarray(g)), w.numpy(), rtol=1e-3, atol=1e-4, err_msg=f"pyramid level {i}"
+            )
+        np.testing.assert_allclose(
+            np.asarray(got["bpp"]), want["bpp"].numpy(), rtol=1e-3, atol=1e-4
+        )
