@@ -1,0 +1,108 @@
+"""Compression/decompression CLI (real bitstreams).
+
+Behavioral spec: the reference demo scripts `test_epsilonparam.py` /
+`test_xparam.py` (read dir of images -> decode -> save + print bpp), but
+with an actual .cdc bitstream in the middle instead of an analytic bpp.
+
+Usage:
+  # encode + decode every image in a dir (round-trip demo):
+  python -m cdc_compression_tpu.cli.compress --ckpt ck.npz --family epsilon \
+      --img_dir ./imgs --out_dir ./out --n_denoise_step 17 --gamma 0.8
+  # keep bitstreams:
+  ... --save_bitstreams
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="CDC codec: compress/decompress images")
+    p.add_argument("--ckpt", default=None,
+                   help=".npz params (or torch .pt reference checkpoint to convert); "
+                        "random init if absent (smoke runs)")
+    p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
+    p.add_argument("--gamma", type=float, default=0.8)
+    p.add_argument("--n_denoise_step", type=int, default=17)
+    p.add_argument("--img_dir", default="./imgs")
+    p.add_argument("--out_dir", default="./compressed_imgs")
+    p.add_argument("--beta", type=float, default=0.0032)
+    p.add_argument("--lpips_weight", type=float, default=0.0)
+    p.add_argument("--save_bitstreams", action="store_true")
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--use_ema", action="store_true", help="use EMA weights from ckpt")
+    return p
+
+
+def load_params(args, engine):
+    import jax
+    import numpy as np
+
+    from ..utils.presets import init_params
+
+    if args.ckpt is None:
+        print("WARNING: no --ckpt, using random init")
+        return init_params(engine, 0, (256, 256))
+    if args.ckpt.endswith(".pt") or args.ckpt.endswith(".pth"):
+        import torch
+
+        from ..utils.convert import convert_diffusion_checkpoint
+
+        loaded = torch.load(args.ckpt, map_location="cpu")
+        sd = loaded.get("ema" if args.use_ema else "model", loaded)
+        return convert_diffusion_checkpoint(sd, embd_type=engine.cfg.embd_type)
+    loaded = np.load(args.ckpt, allow_pickle=True)
+    return jax.tree.map(lambda a: a, loaded["params"].item())
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ..data.datasets import PadToMultiple
+    from ..entropy.codec import ImageCodec
+    from ..utils.presets import epsilon_family, x_family
+
+    if args.family == "epsilon":
+        engine = epsilon_family(lagrangian=args.beta, aux_loss_weight=0.0)
+    else:
+        engine = x_family(lagrangian=args.beta, aux_loss_weight=0.0)
+
+    params = load_params(args, engine)
+    codec = ImageCodec(engine, params)
+    out_dir = pathlib.Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pad = PadToMultiple(64)
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    for img_path in sorted(pathlib.Path(args.img_dir).iterdir()):
+        if img_path.suffix.lower() not in (".png", ".jpg", ".jpeg"):
+            continue
+        raw = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
+        H0, W0 = raw.shape[:2]
+        img = pad(raw).astype(np.float32) / 255.0
+        data = codec.encode(img)
+        bpp = len(data) * 8 / (H0 * W0)
+        if args.save_bitstreams:
+            (out_dir / (img_path.stem + ".cdc")).write_bytes(data)
+        out = codec.decode(
+            data, sample_steps=args.n_denoise_step, gamma=args.gamma,
+            rng=jax.random.PRNGKey(0), eta=args.eta, compute_dtype=dtype,
+        )[:H0, :W0]
+        Image.fromarray((np.clip(out, 0, 1) * 255).round().astype(np.uint8)).save(
+            out_dir / img_path.name
+        )
+        mse = float(np.mean(np.square(out - raw.astype(np.float32) / 255.0)))
+        psnr = -10 * np.log10(max(mse, 1e-12))
+        print(f"{img_path.name}: bpp={bpp:.4f} psnr={psnr:.2f} bytes={len(data)}")
+
+
+if __name__ == "__main__":
+    main()

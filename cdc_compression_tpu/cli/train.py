@@ -1,0 +1,166 @@
+"""Training CLI.
+
+Behavioral spec: the union of the reference's three config generations
+(`epsilonparam/config.py` + `epsilonparam/train.py` + `xparam/train.py`,
+SURVEY §2.9/§5) collapsed into one argparse surface over the typed
+presets. The model-name string encodes the config like the reference's
+(`epsilonparam/train.py:19-23`).
+
+Usage:
+  python -m cdc_compression_tpu.cli.train --family epsilon \
+      --data_path /data/vimeo --dataset vimeo --beta 0.0032 --alpha 0.9
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a CDC codec (TPU-native)")
+    p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
+    p.add_argument("--pred_mode", choices=["noise", "x", "v"], default=None,
+                   help="override the family default parameterization")
+    p.add_argument("--beta", type=float, default=0.0032, help="rate lagrangian")
+    p.add_argument("--alpha", type=float, default=0.0, help="perceptual weight rho")
+    p.add_argument("--aux_loss_type", default="lpips", choices=["l1", "l2", "lpips"])
+    p.add_argument("--iteration_step", type=int, default=None, help="diffusion T")
+    p.add_argument("--embed_dim", type=int, default=64)
+    p.add_argument("--embd_type", choices=["01", "index"], default="01")
+    p.add_argument("--vbr", action="store_true")
+    p.add_argument("--use_weighted_loss", action="store_true")
+    p.add_argument("--weight_clip", type=float, default=5.0)
+    p.add_argument("--use_mixed_precision", action="store_true")
+    # training
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    p.add_argument("--n_step", type=int, default=1_000_000)
+    p.add_argument("--scheduler_checkpoint_step", type=int, default=100_000)
+    p.add_argument("--decay", type=float, default=0.9)
+    p.add_argument("--minf", type=float, default=0.5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--img_size", type=int, default=256)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--save_every", type=int, default=5000)
+    p.add_argument("--sample_steps", type=int, default=200)
+    # data
+    p.add_argument("--dataset", default="vimeo")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--val_dataset", default=None)
+    p.add_argument("--val_data_path", default=None)
+    p.add_argument("--n_workers", type=int, default=4)
+    # io
+    p.add_argument("--results_dir", default="./results")
+    p.add_argument("--tensorboard_dir", default=None)
+    p.add_argument("--load_idx", type=int, default=None)
+    p.add_argument("--lpips_path", default=None,
+                   help="converted LPIPS weights (.npz); random init if absent")
+    # parallel
+    p.add_argument("--data_axis", type=int, default=0,
+                   help="devices on the data axis (0 = all)")
+    p.add_argument("--tile_axis", type=int, default=1)
+    return p
+
+
+def model_name(args) -> str:
+    fam = args.family
+    pm = args.pred_mode or ("noise" if fam == "epsilon" else "x")
+    return (
+        f"{fam}-{pm}-d{args.embed_dim}-t{args.iteration_step or 'def'}-"
+        f"b{args.beta}-a{args.alpha}-{args.aux_loss_type}"
+        f"{'-vbr' if args.vbr else ''}"
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ..data import Loader, load_dataset
+    from ..train import EMAConfig, TrainConfig, Trainer
+    from ..utils.presets import epsilon_family, init_params, x_family
+
+    perceptual_fn = None
+    if args.alpha > 0 and args.aux_loss_type == "lpips":
+        from ..train.lpips import init_lpips_params, make_perceptual_fn
+
+        if args.lpips_path:
+            loaded = np.load(args.lpips_path, allow_pickle=True)
+            params = loaded["params"].item()
+            perceptual_fn = make_perceptual_fn(params)
+        else:
+            print("WARNING: no --lpips_path; using randomly initialized LPIPS")
+            perceptual_fn = make_perceptual_fn(init_lpips_params())
+
+    common = dict(
+        dim=args.embed_dim,
+        lagrangian=args.beta,
+        aux_loss_weight=args.alpha,
+        aux_loss_type=args.aux_loss_type,
+        perceptual_fn=perceptual_fn,
+    )
+    if args.family == "epsilon":
+        engine = epsilon_family(
+            vbr=args.vbr,
+            num_timesteps=args.iteration_step or 20000,
+            **common,
+        )
+    else:
+        engine = x_family(
+            num_timesteps=args.iteration_step or 8193,
+            pred_mode=args.pred_mode or "x",
+            embd_type=args.embd_type,
+            use_loss_weight=args.use_weighted_loss,
+            loss_weight_min=args.weight_clip,
+            **common,
+        )
+
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    train_ds = load_dataset(args.dataset, args.data_path, train=True, img_size=args.img_size)
+    train_iter = iter(
+        Loader(train_ds, args.batch_size, num_workers=args.n_workers,
+               host_id=host_id, num_hosts=num_hosts)
+    )
+    val_iter = None
+    if args.val_data_path:
+        val_ds = load_dataset(args.val_dataset or args.dataset, args.val_data_path, train=False)
+        val_iter = iter(Loader(val_ds, 1, shuffle=False, num_workers=1))
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        data_axis = args.data_axis or (len(jax.devices()) // args.tile_axis)
+        mesh = make_mesh(data=data_axis, tile=args.tile_axis)
+
+    cfg = TrainConfig(
+        lr=args.lr,
+        optimizer=args.optimizer,
+        n_steps=args.n_step,
+        scheduler_checkpoint_step=args.scheduler_checkpoint_step,
+        lr_decay=args.decay,
+        lr_min_factor=args.minf,
+        grad_clip=args.grad_clip if args.grad_clip > 0 else None,
+        use_ema=not args.no_ema,
+        ema=EMAConfig(),
+        bf16=args.use_mixed_precision,
+        save_every=args.save_every,
+        sample_steps=args.sample_steps,
+        results_dir=args.results_dir,
+        tensorboard_dir=args.tensorboard_dir,
+        model_name=model_name(args),
+    )
+    trainer = Trainer(engine, cfg, train_iter, val_iter, mesh=mesh)
+    if args.load_idx is not None:
+        state = trainer.load(args.load_idx, template=trainer.init_state(
+            init_params(engine, 0, (args.img_size, args.img_size))))
+    else:
+        state = trainer.init_state(init_params(engine, 0, (args.img_size, args.img_size)))
+    trainer.train(state, jax.random.PRNGKey(0))
+
+
+if __name__ == "__main__":
+    main()

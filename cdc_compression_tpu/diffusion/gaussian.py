@@ -141,12 +141,12 @@ class GaussianDiffusion:
     def _denoise_time_input(self, sched: SampleSchedule, t: jax.Array, b: int) -> jax.Array:
         cfg = self.cfg
         if cfg.embd_type == "index":
-            return jnp.full((b,), 0.0) + sched.index[t].astype(jnp.float32)
+            return jnp.broadcast_to(sched.index[t].astype(jnp.float32), (b,))
         if cfg.sample_time_convention == "step_frac":
             tv = t.astype(jnp.float32) / sched.sample_steps
         else:
             tv = sched.index[t].astype(jnp.float32) / cfg.num_timesteps
-        return jnp.full((b, 1), 0.0) + tv
+        return jnp.broadcast_to(tv, (b,))[:, None]
 
     def ddim_step(
         self,
@@ -158,13 +158,20 @@ class GaussianDiffusion:
         rng: jax.Array,
         clip_denoised,
         eta: float = 0.0,
+        compute_dtype=None,
     ) -> jax.Array:
         """One DDIM update x_t -> x_{t-1} (denoising_diffusion.py:137-152,
-        xparam:152-174). Pure function of (params, x, t, rng)."""
+        xparam:152-174). Pure function of (params, x, t, rng).
+
+        `compute_dtype=jnp.bfloat16` runs the U-Net on the MXU in bf16
+        (params/context pre-cast by the caller); the schedule algebra
+        stays fp32."""
         cfg = self.cfg
         b = x.shape[0]
         t_in = self._denoise_time_input(sched, jnp.broadcast_to(t, (b,)), b)
-        fx = self.unet.apply(params["unet"], x, t_in, context)
+        x_in = x if compute_dtype is None else x.astype(compute_dtype)
+        fx = self.unet.apply(params["unet"], x_in, t_in, context)
+        fx = fx.astype(jnp.float32)
         if cfg.pred_mode == "noise":
             x_recon = self._predict_start_from_noise(sched, x, jnp.broadcast_to(t, (b,)), fx)
         elif cfg.pred_mode == "x":
@@ -228,17 +235,25 @@ class GaussianDiffusion:
         clip_denoised=False,
         init: Optional[jax.Array] = None,
         eta: float = 0.0,
+        compute_dtype=None,
     ) -> jax.Array:
         """Full reverse loop as one `lax.scan` — fully on device."""
         img = jnp.zeros(shape, jnp.float32) if init is None else init
         steps = sched.sample_steps
         step_fn = self.ddim_step if sample_mode == "ddim" else self.ddpm_step
+        if compute_dtype is not None:
+            params = {
+                "unet": jax.tree.map(lambda a: a.astype(compute_dtype), params["unet"]),
+                "compressor": params.get("compressor"),
+            }
+            context = [c.astype(compute_dtype) for c in context]
 
         def body(carry, t):
             x, key = carry
             key, sub = jax.random.split(key)
             if sample_mode == "ddim":
-                x = step_fn(params, sched, x, t, context, sub, clip_denoised, eta)
+                x = step_fn(params, sched, x, t, context, sub, clip_denoised, eta,
+                            compute_dtype=compute_dtype)
             else:
                 x = step_fn(params, sched, x, t, context, sub, clip_denoised)
             return (x, key), None
@@ -260,6 +275,7 @@ class GaussianDiffusion:
         init: Optional[jax.Array] = None,
         eta: float = 0.0,
         clip_denoised=None,
+        compute_dtype=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Encode + decode in one jittable call (denoising_diffusion.py:194-215).
 
@@ -289,6 +305,7 @@ class GaussianDiffusion:
             clip_denoised=clip_denoised,
             init=init,
             eta=eta,
+            compute_dtype=compute_dtype,
         )
         return decoded, (bpp.mean() if bpp_return_mean else bpp)
 

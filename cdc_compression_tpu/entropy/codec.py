@@ -1,0 +1,180 @@
+"""Bitstream codec: image -> .cdc bytes -> image.
+
+The capability the reference estimates but never implements
+(`compress_modules.py:84-98` computes analytic bpp only). Pipeline:
+
+  encode: analysis transform -> q_hyper, then hyper-decode on the
+          *quantized* hyper-latent to get (mean, scale) -> two rANS
+          streams (factorized prior + Gaussian conditional) + header.
+  decode: decode hyper symbols -> hyper-decode -> (mean, scale) ->
+          decode latent symbols -> synthesis transform -> context
+          pyramid -> DDIM loop.
+
+Decode reproduces the exact q_latent/q_hyper_latent tensors (integer
+offsets around medians / predicted means), so decoded images are
+bit-identical to the analytic path's.
+
+Header (little-endian): magic "CDC1", u16 H, u16 W, u8 levels(unused:0),
+u32 len(hyper_stream), u32 len(latent_stream).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import coder
+
+_MAGIC = b"CDC1"
+
+
+@dataclass
+class CodecTables:
+    """Static per-model tables; build once per checkpoint."""
+
+    prior: coder.CdfTable
+    gaussian: coder.CdfTable
+    medians: np.ndarray  # (C_hyper,)
+
+    @staticmethod
+    def build(compressor, comp_params, half_range: int = 64) -> "CodecTables":
+        medians = np.asarray(
+            compressor.apply(comp_params, method=lambda m: m.prior.medians)
+        ).reshape(-1)
+
+        def cdf_fn(pts: np.ndarray) -> np.ndarray:
+            v = jnp.asarray(pts, jnp.float32).reshape(1, -1, 1, pts.shape[-1])
+            out = compressor.apply(comp_params, v, method=lambda m, a: m.prior.cdf(a))
+            return np.asarray(out).reshape(pts.shape)
+
+        prior = coder.build_prior_tables(cdf_fn, medians, half_range=half_range)
+        gaussian = coder.build_gaussian_tables()
+        return CodecTables(prior=prior, gaussian=gaussian, medians=medians)
+
+
+class ImageCodec:
+    """Real-bitstream wrapper around (compressor, diffusion engine).
+
+    Heavy math (transforms, hyper-dec, DDIM loop) is jitted on device;
+    only symbols cross to the host for entropy coding.
+    """
+
+    def __init__(self, engine, params, tables: Optional[CodecTables] = None):
+        self.engine = engine
+        self.params = params
+        self.tables = tables or CodecTables.build(engine.compressor, params["compressor"])
+        self._encode_jit = jax.jit(self._encode_device)
+        self._ctx_jit = jax.jit(self._context_device)
+
+    # ---- device-side pure functions ----------------------------------
+    def _encode_device(self, images):
+        comp = self.engine.compressor
+        q_latent, q_hyper, state = comp.apply(
+            self.params["compressor"], images, method="encode"
+        )
+        dist = state["dist"]
+        return q_hyper, q_latent, dist.mean, dist.scale
+
+    def _context_device(self, q_hyper, q_latent):
+        """Recompute (mean, scale) from decoded hyper symbols + context."""
+        comp = self.engine.compressor
+
+        def run(m, qh, ql):
+            ms = m.hyper_decode(qh)
+            mean, scale = jnp.split(ms, 2, axis=-1)
+            ctx = m.decode(ql)
+            return ctx, mean, jnp.maximum(scale, 0.1)
+
+        return comp.apply(self.params["compressor"], q_hyper, q_latent, method=run)
+
+    def _mean_scale_device(self, q_hyper):
+        comp = self.engine.compressor
+
+        def run(m, qh):
+            ms = m.hyper_decode(qh)
+            mean, scale = jnp.split(ms, 2, axis=-1)
+            return jax.lax.stop_gradient(mean), jnp.maximum(scale, 0.1)
+
+        return comp.apply(self.params["compressor"], q_hyper, method=run)
+
+    # ---- public API ----------------------------------------------------
+    def encode(self, image: np.ndarray) -> bytes:
+        """image: (H,W,3) float in [0,1] -> .cdc bytes."""
+        H, W = image.shape[:2]
+        x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
+        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x))
+
+        med = self.tables.medians.reshape(1, 1, 1, -1)
+        h_sym = np.round(q_hyper - med).astype(np.int32)
+        h_idx = np.broadcast_to(
+            np.arange(h_sym.shape[-1], dtype=np.int32), h_sym.shape
+        )
+        h_bytes = coder.encode_symbols(h_sym, h_idx, self.tables.prior)
+
+        l_sym = np.round(q_latent - mean).astype(np.int32)
+        l_idx = coder.scale_indexes(scale)
+        l_bytes = coder.encode_symbols(l_sym, l_idx, self.tables.gaussian)
+
+        header = _MAGIC + struct.pack("<HHBII", H, W, 0, len(h_bytes), len(l_bytes))
+        return header + h_bytes + l_bytes
+
+    def decode_latents(self, data: bytes) -> Tuple[jax.Array, jax.Array, Tuple[int, int]]:
+        """bytes -> (q_hyper, q_latent) device tensors + (H, W)."""
+        assert data[:4] == _MAGIC, "bad magic"
+        H, W, _, n_h, n_l = struct.unpack("<HHBII", data[4:17])
+        off = 17
+        h_bytes = data[off : off + n_h]
+        l_bytes = data[off + n_h : off + n_h + n_l]
+
+        C_hyper = self.tables.medians.shape[0]
+        hh, hw = H // 64, W // 64
+        h_idx = np.broadcast_to(
+            np.arange(C_hyper, dtype=np.int32), (1, hh, hw, C_hyper)
+        )
+        h_sym = coder.decode_symbols(h_bytes, h_idx, self.tables.prior).reshape(h_idx.shape)
+        med = self.tables.medians.reshape(1, 1, 1, -1)
+        q_hyper = jnp.asarray(h_sym.astype(np.float32) + med)
+
+        mean, scale = self._mean_scale_device(q_hyper)
+        mean, scale = np.asarray(mean), np.asarray(scale)
+        l_idx = coder.scale_indexes(scale)
+        l_sym = coder.decode_symbols(l_bytes, l_idx, self.tables.gaussian).reshape(mean.shape)
+        q_latent = jnp.asarray(l_sym.astype(np.float32) + mean)
+        return q_hyper, q_latent, (H, W)
+
+    def decode(
+        self,
+        data: bytes,
+        *,
+        sample_steps: int = 17,
+        gamma: float = 0.8,
+        rng: Optional[jax.Array] = None,
+        eta: float = 0.0,
+        compute_dtype=None,
+    ) -> np.ndarray:
+        """bytes -> (H,W,3) float image in [0,1] via the DDIM loop."""
+        from ..ops.schedules import make_sample_schedule
+
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        q_hyper, q_latent, (H, W) = self.decode_latents(data)
+        context = self.engine.compressor.apply(
+            self.params["compressor"], q_latent, method="decode"
+        )
+        sched = make_sample_schedule(self.engine.train_sched, sample_steps)
+        k_init, k_loop = jax.random.split(rng)
+        shape = (1, H, W, 3)
+        init = jax.random.normal(k_init, shape) * gamma
+        cfg = self.engine.cfg
+        clip = cfg.clip_noise if cfg.pred_mode == "noise" else True
+        decoded = self.engine.p_sample_loop(
+            self.params, shape, context, sched, k_loop,
+            sample_mode="ddim", clip_denoised=clip, init=init, eta=eta,
+            compute_dtype=compute_dtype,
+        )
+        out = np.asarray(jnp.clip(decoded, -1, 1)[0] / 2.0 + 0.5)
+        return out

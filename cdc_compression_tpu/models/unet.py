@@ -62,11 +62,14 @@ class Unet(nn.Module):
             t = None
         time_dim = self.dim if self.with_time_emb else None
 
+        # consume at most len(context_dim_mults) pyramid levels — the
+        # reference's implicit contract between compressor and U-Net
+        n_ctx = min(len(context), len(self.context_dim_mults))
         h = []
         for ind in range(num_resolutions):
             is_last = ind >= num_resolutions - 1
             dim_out = dims[ind + 1]
-            if ind < len(context):
+            if ind < n_ctx:
                 x = jnp.concatenate([x, context[ind].astype(x.dtype)], axis=-1)
             x = ResnetBlock(
                 dim_out, time_emb_dim=time_dim, large=(ind == 0), name=f"down_{ind}_res1"

@@ -34,7 +34,12 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params: Any) -> EMAState:
-    return EMAState(params=jax.tree.map(jnp.asarray, params), step=jnp.zeros((), jnp.int32))
+    # real copies: the shadow must not alias the live params, or buffer
+    # donation in the train step would donate the same buffer twice
+    return EMAState(
+        params=jax.tree.map(lambda a: jnp.array(a, copy=True), params),
+        step=jnp.zeros((), jnp.int32),
+    )
 
 
 def current_decay(step: jax.Array, cfg: EMAConfig) -> jax.Array:

@@ -1,0 +1,82 @@
+"""End-to-end bitstream codec tests: bytes in, exact latents out."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cdc_compression_tpu import models
+from cdc_compression_tpu.diffusion import DiffusionConfig, GaussianDiffusion
+from cdc_compression_tpu.entropy.codec import CodecTables, ImageCodec
+
+
+@pytest.fixture(scope="module")
+def small_codec():
+    unet = models.Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,),
+                       channels=3, context_channels=3)
+    comp = models.BigCompressor(dim=8, dim_mults=(1, 2, 3, 4), hyper_dims_mults=(4, 4, 4),
+                                channels=3, out_channels=3)
+    cfg = DiffusionConfig(num_timesteps=64, var_schedule="linear", pred_mode="noise",
+                          loss_type="l1", clip_noise="none")
+    engine = GaussianDiffusion(unet, comp, cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    comp_p = comp.init(k2, x)
+    ctx = comp.apply(comp_p, x)["output"]
+    unet_p = unet.init(k1, x, jnp.zeros((1, 1)), ctx[:1])
+    params = {"unet": unet_p, "compressor": comp_p}
+    return ImageCodec(engine, params)
+
+
+class TestBitstream:
+    def test_latents_roundtrip_exactly(self, small_codec):
+        rng = np.random.RandomState(0)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        data = small_codec.encode(img)
+        assert isinstance(data, bytes) and len(data) > 17
+
+        # ground truth from the analytic path
+        x = jnp.asarray(img)[None] * 2 - 1
+        q_hyper_t, q_latent_t, _, _ = small_codec._encode_jit(x)
+
+        q_hyper, q_latent, (H, W) = small_codec.decode_latents(data)
+        assert (H, W) == (64, 64)
+        np.testing.assert_array_equal(np.asarray(q_hyper), np.asarray(q_hyper_t))
+        np.testing.assert_array_equal(np.asarray(q_latent), np.asarray(q_latent_t))
+
+    def test_decoded_image_matches_analytic_path(self, small_codec):
+        """Decoding from bytes must equal decoding from the in-memory
+        latents (same DDIM loop, same rng)."""
+        rng = np.random.RandomState(1)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        data = small_codec.encode(img)
+        out = small_codec.decode(data, sample_steps=3, rng=jax.random.PRNGKey(7))
+
+        eng, params = small_codec.engine, small_codec.params
+        x = jnp.asarray(img)[None] * 2 - 1
+        ctx_out = eng.compressor.apply(params["compressor"], x)
+        from cdc_compression_tpu.ops.schedules import make_sample_schedule
+
+        sched = make_sample_schedule(eng.train_sched, 3)
+        k_init, k_loop = jax.random.split(jax.random.PRNGKey(7))
+        init = jax.random.normal(k_init, x.shape) * 0.8
+        want = eng.p_sample_loop(params, x.shape, ctx_out["output"], sched, k_loop,
+                                 sample_mode="ddim", clip_denoised="none", init=init)
+        want = np.asarray(jnp.clip(want, -1, 1)[0] / 2 + 0.5)
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+    def test_bitrate_sane(self, small_codec):
+        rng = np.random.RandomState(2)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        data = small_codec.encode(img)
+        bpp = len(data) * 8 / (64 * 64)
+        assert 0 < bpp < 24  # lossless-of-noise upper bound sanity
+
+    def test_corrupt_magic_rejected(self, small_codec):
+        rng = np.random.RandomState(3)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        data = bytearray(small_codec.encode(img))
+        data[0] = 0
+        with pytest.raises(AssertionError):
+            small_codec.decode_latents(bytes(data))

@@ -1,0 +1,175 @@
+"""Trainer, distillation, AE, LPIPS, and data pipeline tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cdc_compression_tpu import models
+from cdc_compression_tpu.diffusion import DiffusionConfig, DistillDiffusion, GaussianDiffusion
+from cdc_compression_tpu.train import TrainConfig, Trainer
+from cdc_compression_tpu.train.ema import EMAConfig
+
+
+def tiny_engine(**kw):
+    unet = models.Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,),
+                       channels=3, context_channels=3)
+    comp = models.BigCompressor(dim=8, dim_mults=(1,), hyper_dims_mults=(1,),
+                                channels=3, out_channels=3)
+    cfg = DiffusionConfig(num_timesteps=64, var_schedule="linear", pred_mode="noise",
+                          loss_type="l2", **kw)
+    return GaussianDiffusion(unet, comp, cfg)
+
+
+def tiny_params(engine, hw=16):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, hw, hw, 3))
+    comp_p = engine.compressor.init(k2, x)
+    ctx = engine.compressor.apply(comp_p, x)["output"]
+    unet_p = engine.unet.init(k1, x, jnp.zeros((1, 1)), ctx)
+    return {"unet": unet_p, "compressor": comp_p}
+
+
+def batches(n=2, hw=16):
+    rng = np.random.RandomState(0)
+    while True:
+        yield rng.rand(n, hw, hw, 3).astype(np.float32)
+
+
+class TestTrainer:
+    def test_loss_decreases_on_overfit(self, tmp_path):
+        engine = tiny_engine()
+        cfg = TrainConfig(lr=1e-3, grad_clip=1.0, use_ema=True,
+                          ema=EMAConfig(update_after_step=2, update_every=1),
+                          results_dir=str(tmp_path), save_every=10_000)
+        fixed = next(batches())
+        trainer = Trainer(engine, cfg, train_iter=iter(lambda: fixed, None))
+        state = trainer.init_state(tiny_params(engine))
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(30):
+            state, metrics = trainer.train_step(state, fixed, jax.random.fold_in(rng, i))
+            losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        assert int(state.step) == 30
+        assert state.ema is not None
+
+    def test_lr_schedule_matches_reference_lambda(self):
+        from cdc_compression_tpu.train import make_lr_schedule
+
+        cfg = TrainConfig(lr=4e-5, scheduler_checkpoint_step=100, lr_decay=0.9,
+                          lr_min_factor=0.5)
+        s = make_lr_schedule(cfg)
+        assert float(s(0)) == pytest.approx(4e-5)
+        assert float(s(100)) == pytest.approx(4e-5)
+        assert float(s(101)) == pytest.approx(4e-5 * 0.9)
+        assert float(s(107)) == pytest.approx(4e-5 * 0.5)  # floor reached
+        assert float(s(10_000)) == pytest.approx(2e-5)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        engine = tiny_engine()
+        cfg = TrainConfig(results_dir=str(tmp_path), use_ema=True)
+        trainer = Trainer(engine, cfg, train_iter=batches())
+        state = trainer.init_state(tiny_params(engine))
+        state, _ = trainer.train_step(state, next(batches()), jax.random.PRNGKey(0))
+        trainer.save(state)
+        restored = trainer.load(idx=0, template=trainer.init_state(tiny_params(engine)))
+        assert int(restored.step) == int(state.step)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDistill:
+    def test_distill_loss_and_round(self):
+        engine = tiny_engine()
+        params = tiny_params(engine)
+        dd = DistillDiffusion(engine)
+        import optax
+
+        opt = optax.adam(1e-3)
+        student = {"unet": params["unet"]}
+        opt_state = opt.init(student)
+        step = dd.make_round_step(opt, k=2)
+        imgs = jnp.asarray(next(batches())) * 2 - 1
+        s2, _, loss = step(student, opt_state, {"unet": params["unet"]},
+                           params["compressor"], imgs, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        # student must have moved
+        d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), s2, student)
+        assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+class TestAutoencoder:
+    def test_ae_roundtrip_shapes_and_kl(self):
+        from cdc_compression_tpu.models.autoencoder import AutoencoderKL
+
+        ae = AutoencoderKL(ch=8, z_channels=4, ch_mult=(1, 2), num_res_blocks=1)
+        x = jnp.zeros((1, 32, 32, 3))
+        params = ae.init(jax.random.PRNGKey(0), x)
+        recon, post = ae.apply(params, x)
+        assert recon.shape == x.shape
+        assert post.mode.shape == (1, 16, 16, 4)
+        assert float(post.kl()[0]) >= 0
+        z = ae.apply(params, x, method="encode").mode
+        dec = ae.apply(params, z, method="decode")
+        assert dec.shape == x.shape
+
+
+class TestLPIPS:
+    def test_lpips_properties(self):
+        from cdc_compression_tpu.train.lpips import LPIPS, init_lpips_params, make_perceptual_fn
+
+        params = init_lpips_params()
+        fn = make_perceptual_fn(params)
+        a = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3), minval=-1, maxval=1)
+        b = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-1, maxval=1)
+        d_ab = fn(a, b)
+        d_aa = fn(a, a)
+        assert d_ab.shape == (2,)
+        assert (np.asarray(d_aa) < 1e-6).all()
+        assert (np.asarray(d_ab) > 0).all()
+
+
+class TestData:
+    def test_image_folder_and_loader(self, tmp_path):
+        from PIL import Image
+
+        from cdc_compression_tpu.data import ImageFolderDataset, Loader, RandomCrop
+
+        rng = np.random.RandomState(0)
+        for i in range(6):
+            Image.fromarray(
+                (rng.rand(80, 90, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / f"img_{i}.png")
+        ds = ImageFolderDataset(str(tmp_path), transforms=[RandomCrop(32)])
+        assert len(ds) == 6
+        it = iter(Loader(ds, batch_size=2, num_workers=2, seed=1))
+        b1 = next(it)
+        assert b1.shape == (2, 32, 32, 3)
+        assert b1.dtype == np.float32
+        assert 0.0 <= b1.min() and b1.max() <= 1.0
+
+    def test_host_sharding_disjoint(self, tmp_path):
+        from PIL import Image
+
+        from cdc_compression_tpu.data import ImageFolderDataset, Loader
+
+        for i in range(8):
+            Image.fromarray(np.full((8, 8, 3), i * 30, np.uint8)).save(tmp_path / f"{i}.png")
+        ds = ImageFolderDataset(str(tmp_path))
+        l0 = Loader(ds, batch_size=1, shuffle=False, host_id=0, num_hosts=2)
+        l1 = Loader(ds, batch_size=1, shuffle=False, host_id=1, num_hosts=2)
+        vals0 = {int(round(float(next(iter([b]))[0, 0, 0, 0]) * 255)) for b in
+                 [b for b, _ in zip(iter(l0), range(4))]}
+        vals1 = {int(round(float(b[0, 0, 0, 0]) * 255)) for b, _ in zip(iter(l1), range(4))}
+        assert vals0.isdisjoint(vals1)
+
+    def test_pad_to_multiple(self):
+        from cdc_compression_tpu.data import PadToMultiple
+
+        img = np.zeros((100, 130, 3), np.uint8)
+        out = PadToMultiple(64)(img)
+        assert out.shape == (128, 192, 3)
