@@ -17,8 +17,9 @@ import json
 import os
 import time
 
-# first-round TPU measurement; later rounds show speedup vs this anchor
-ANCHOR_STEPS_PER_S = None  # set after round-1 measurement
+# first-round TPU measurement (v5e, 2026-08-17); later rounds show
+# speedup vs this anchor
+ANCHOR_STEPS_PER_S = 40.015
 
 
 def main():

@@ -170,6 +170,17 @@ _EVAL_TRANSFORMS = {
 }
 
 
+# Video/physics datasets the reference carries as unused leftovers from a
+# video-codec era (kth_actions, bair, moving_mnist, bouncing_ball, big,
+# youtube, uvg, audi, city, climate, simu — `data/datasets/*`, SURVEY
+# §2.8). They are not on any code path of the image codec; requesting one
+# raises with this context instead of silently training on nothing.
+_VIDEO_LEFTOVERS = frozenset({
+    "kth_actions", "bair", "moving_mnist", "stochastic_moving_mnist",
+    "bouncing_ball", "big", "youtube", "uvg", "audi", "city", "climate", "simu",
+})
+
+
 def load_dataset(name: str, path: str, train: bool = True, img_size: int = 256,
                  hflip: bool = False):
     """Name-switch dataset factory (reference `load_dataset.py:11` shape).
@@ -178,6 +189,12 @@ def load_dataset(name: str, path: str, train: bool = True, img_size: int = 256,
     stacks follow the reference's deterministic per-dataset pipelines.
     """
     name = name.lower()
+    if name in _VIDEO_LEFTOVERS:
+        raise NotImplementedError(
+            f"dataset '{name}' is a video/physics leftover in the reference "
+            "with no role in the image codec; use an image dataset "
+            "(vimeo/kodak/tecnick/div2k/coco or any image folder)"
+        )
     if train:
         tfs: List[Callable] = [RandomCrop(img_size)]
         if hflip:

@@ -282,11 +282,17 @@ class GaussianDiffusion:
         `images` NHWC in [-1, 1]. Returns (decoded, bpp)."""
         cfg = self.cfg
         H, W = images.shape[1:3]
-        # 4 compressor downsamples x hyper path -> /64; U-Net adds /32.
-        if H % 64 or W % 64:
+        # divisibility: compressor strides (enc + hyper) and U-Net strides
+        comp, unet = self.compressor, self.unet
+        mult = max(
+            2 ** (len(comp.dim_mults) + len(comp.hyper_dims_mults) - 1),
+            2 ** (len(unet.dim_mults) - 1),
+        )
+        if H % mult or W % mult:
             raise ValueError(
-                f"image size {H}x{W} must be a multiple of 64 "
-                "(pad with data.PadToMultiple(64) and crop after decode)"
+                f"image size {H}x{W} must be a multiple of {mult} for this "
+                f"architecture (pad with data.PadToMultiple({mult}) and crop "
+                "after decode)"
             )
         ctx_out = self.compressor.apply(params["compressor"], images, bitrate_scale)
         context, bpp = ctx_out["output"], ctx_out["bpp"]
@@ -340,13 +346,18 @@ class GaussianDiffusion:
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         cfg = self.cfg
         sched = self.train_sched
-        noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
-        x_noisy = self.q_sample(x_start, t, noise)
+        noise = jax.random.normal(rng, x_start.shape, jnp.float32)
+        # q_sample promotes to fp32 (schedule buffers); cast back so bf16
+        # training keeps the U-Net on the MXU in bf16
+        x_noisy = self.q_sample(x_start.astype(jnp.float32), t, noise).astype(x_start.dtype)
         if cfg.embd_type == "01":
             t_in = t.astype(jnp.float32)[:, None] / cfg.num_timesteps
         else:
             t_in = t.astype(jnp.float32)
         fx = self.unet.apply(params["unet"], x_noisy, t_in, context_dict["output"])
+        fx = fx.astype(jnp.float32)
+        x_start = x_start.astype(jnp.float32)
+        x_noisy = x_noisy.astype(jnp.float32)
 
         if cfg.pred_mode == "noise":
             target = noise

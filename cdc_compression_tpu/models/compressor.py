@@ -147,11 +147,16 @@ class BaseCompressor(nn.Module):
         return tuple(out[::-1])
 
     def bpp(self, image_hw, state4bpp, rng=None, training=False) -> jax.Array:
-        """Per-sample analytic rate (`compress_modules.py:84-98`)."""
+        """Per-sample analytic rate (`compress_modules.py:84-98`).
+
+        Always computed in fp32: likelihood tails underflow in bf16."""
         H, W = image_hw
-        latent = state4bpp["latent"]
-        hyper_latent = state4bpp["hyper_latent"]
-        dist: NormalParams = state4bpp["dist"]
+        latent = state4bpp["latent"].astype(jnp.float32)
+        hyper_latent = state4bpp["hyper_latent"].astype(jnp.float32)
+        dist: NormalParams = NormalParams(
+            state4bpp["dist"].loc.astype(jnp.float32),
+            state4bpp["dist"].scale.astype(jnp.float32),
+        )
         if training:
             k1, k2 = jax.random.split(rng)
             q_hyper = quantize_noise(hyper_latent, k1)

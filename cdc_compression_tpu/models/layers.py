@@ -237,12 +237,19 @@ class LinearAttention(nn.Module):
         hidden = dh * self.heads
         scale = dh ** -0.5
         qkv = Conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.heads, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, dh)
+        # keep H,W unflattened: under spatial (tile) sharding the softmax
+        # normalizer and the (d x e) KV summary reduce over the sharded
+        # axes, which XLA GSPMD lowers to psum over ICI — exact, O(d^2)
+        # cross-tile state, no gather of the full feature map.
+        qkv = qkv.reshape(b, h, w, 3, self.heads, dh)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         q = q * scale
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        k32 = k.astype(jnp.float32)
+        kmax = jnp.max(k32, axis=(1, 2), keepdims=True)
+        kexp = jnp.exp(k32 - kmax)
+        k = (kexp / jnp.sum(kexp, axis=(1, 2), keepdims=True)).astype(x.dtype)
+        context = jnp.einsum("bxyhd,bxyhe->bhde", k, v)
+        out = jnp.einsum("bhde,bxyhd->bxyhe", context, q)
         out = out.reshape(b, h, w, hidden)
         return Conv2d(c, 1, name="to_out")(out)
 

@@ -119,9 +119,10 @@ class Trainer:
         engine, cfg, opt = self.engine, self.cfg, self.opt
 
         def step_fn(state: State, batch: jax.Array, rng: jax.Array):
-            """batch: (B,H,W,C) uint8-scaled floats in [0,1]."""
+            """batch: (B,H,W,C) floats in [0,1]. With cfg.bf16 the network
+            activations run in bf16 (modules cast weights to the input
+            dtype); rate/likelihood math is upcast to fp32 inside bpp()."""
             imgs = batch.astype(jnp.bfloat16 if cfg.bf16 else jnp.float32) * 2.0 - 1.0
-            imgs = imgs.astype(jnp.float32)
 
             def loss_fn(params):
                 return engine.loss(params, imgs, rng)
