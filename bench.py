@@ -59,15 +59,18 @@ def main():
             sample_mode="ddim", compute_dtype=jnp.bfloat16,
         )
 
-    # compile + warmup
+    # compile + warmup (fetch a value — block_until_ready alone can be
+    # fooled by backend-level dedup of identical async calls)
     dec, bpp = decode(params, x)
-    dec.block_until_ready()
+    np.asarray(dec).ravel()[:1]
 
     reps = 5
     t0 = time.perf_counter()
+    cur = x
     for _ in range(reps):
-        dec, bpp = decode(params, x)
-    dec.block_until_ready()
+        dec, bpp = decode(params, cur)
+        cur = jnp.clip(dec, -1.0, 1.0)  # chain: next rep depends on this one
+    np.asarray(dec).ravel()[:1]
     t1 = time.perf_counter()
 
     steps_per_s = reps * STEPS / (t1 - t0)

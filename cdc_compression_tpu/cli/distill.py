@@ -1,0 +1,59 @@
+"""Progressive distillation CLI.
+
+The reference ships distillation as a library with **no entry script**
+(SURVEY §2.6: nothing imports `distill_trainer.py`); this provides one.
+
+Usage:
+  python -m cdc_compression_tpu.cli.distill --family epsilon --ckpt ck.npz \
+      --data_path /data/vimeo --kiter 3 --steps_per_round 10000 --out distilled.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--dataset", default="vimeo")
+    p.add_argument("--img_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--kiter", type=int, default=3)
+    p.add_argument("--steps_per_round", type=int, default=10_000)
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ..data import Loader, load_dataset
+    from ..diffusion.distill import distill
+    from ..utils.presets import epsilon_family, x_family
+    from .compress import load_params
+
+    fam = epsilon_family if args.family == "epsilon" else x_family
+    engine = fam(aux_loss_weight=0.0)
+
+    class A:
+        ckpt = args.ckpt
+        use_ema = args.use_ema
+
+    params = load_params(A, engine)
+    ds = load_dataset(args.dataset, args.data_path, train=True, img_size=args.img_size)
+    data_iter = iter(Loader(ds, args.batch_size, host_id=jax.process_index(),
+                            num_hosts=jax.process_count()))
+    out = distill(
+        engine, params, data_iter,
+        kiter=args.kiter, steps_per_round=args.steps_per_round, lr=args.lr,
+    )
+    np.savez(args.out, params=np.asarray(jax.tree.map(np.asarray, out), dtype=object))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

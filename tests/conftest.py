@@ -55,7 +55,19 @@ def reference_modules():
         ema_stub.EMA = object
         sys.modules["ema_pytorch"] = ema_stub
 
-    sys.path.insert(0, os.path.join(REFERENCE, "epsilonparam"))
+    return _import_reference_variant("epsilonparam")
+
+
+def _import_reference_variant(variant: str):
+    """Import one reference variant's `modules` package under a unique
+    name (both variants ship a top-level `modules/`)."""
+    import types
+    import torch
+
+    # drop any previously imported `modules` tree
+    for k in [k for k in sys.modules if k == "modules" or k.startswith("modules.")]:
+        del sys.modules[k]
+    sys.path.insert(0, os.path.join(REFERENCE, variant))
     try:
         from modules import utils as ref_utils  # noqa
         from modules import network_components as ref_nc  # noqa
@@ -64,6 +76,29 @@ def reference_modules():
         from modules import denoising_diffusion as ref_dd  # noqa
     finally:
         sys.path.pop(0)
-    return types.SimpleNamespace(
+    ns = types.SimpleNamespace(
         utils=ref_utils, nc=ref_nc, cm=ref_cm, unet=ref_unet, dd=ref_dd, torch=torch
     )
+    for k in [k for k in sys.modules if k == "modules" or k.startswith("modules.")]:
+        del sys.modules[k]
+    return ns
+
+
+@pytest.fixture(scope="function")
+def reference_modules_x():
+    """The x-variant reference modules (function-scoped: cannot coexist
+    with the ε import in sys.modules)."""
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    import types
+    import torch
+
+    if "lpips" not in sys.modules:
+        lpips_stub = types.ModuleType("lpips")
+        lpips_stub.LPIPS = object
+        sys.modules["lpips"] = lpips_stub
+    if "ema_pytorch" not in sys.modules:
+        ema_stub = types.ModuleType("ema_pytorch")
+        ema_stub.EMA = object
+        sys.modules["ema_pytorch"] = ema_stub
+    return _import_reference_variant("xparam")
