@@ -58,6 +58,10 @@ class DiffusionConfig:
     use_loss_weight: bool = False  # x-family SNR-clipped weights
     loss_weight_min: float = 5.0
     use_aux_loss_weight_schedule: bool = False
+    # clamp aux pred_x0 to [-1,1] before the perceptual/pixel aux loss —
+    # ε-family does (denoising_diffusion.py:248), x-family doesn't
+    # (xparam/...:311-317); never applied in latent (ae) mode.
+    aux_pred_clip: bool = True
     embd_type: str = "01"  # "01" | "index"
     # which time value the denoiser sees during sampling (see module doc)
     sample_time_convention: str = "step_frac"  # "step_frac" (ε) | "index_frac" (x)
@@ -81,6 +85,7 @@ class GaussianDiffusion:
         compressor,
         config: DiffusionConfig,
         perceptual_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+        ae=None,
     ):
         self.unet = unet
         self.compressor = compressor
@@ -89,6 +94,11 @@ class GaussianDiffusion:
             config.var_schedule, config.num_timesteps
         )
         self.perceptual_fn = perceptual_fn
+        # frozen KL autoencoder for latent-space diffusion (the reference's
+        # `ae_fn`, xparam/denoising_diffusion.py:221-231,350-360 — designed
+        # but shipped broken, SURVEY §2.5). When set, params must carry an
+        # "ae" subtree; it is stop_gradient-frozen in the loss.
+        self.ae = ae
         if config.aux_loss_weight > 0 and config.aux_loss_type == "lpips" and perceptual_fn is None:
             raise ValueError("aux_loss_type='lpips' requires a perceptual_fn")
 
@@ -298,6 +308,24 @@ class GaussianDiffusion:
         context, bpp = ctx_out["output"], ctx_out["bpp"]
         steps = cfg.num_timesteps if sample_steps is None else sample_steps
         sched = make_sample_schedule(self.train_sched, steps)
+        if self.ae is not None:
+            # latent mode (xparam/denoising_diffusion.py:228-231): denoise
+            # in z-space (unclipped), then decode through the frozen AE
+            z = self.ae.apply(params["ae"], images, method="encode").mode
+            dec_z = self.p_sample_loop(
+                params,
+                z.shape,
+                context,
+                sched,
+                rng,
+                sample_mode=sample_mode,
+                clip_denoised=False,
+                init=init,
+                eta=eta,
+                compute_dtype=compute_dtype,
+            )
+            decoded = self.ae.apply(params["ae"], dec_z, method="decode")
+            return decoded, (bpp.mean() if bpp_return_mean else bpp)
         if clip_denoised is None:
             # ε-family uses its configured clip mode; x-family clips fully
             clip_denoised = cfg.clip_noise if cfg.pred_mode == "noise" else True
@@ -386,7 +414,14 @@ class GaussianDiffusion:
                 pred_x0 = fx
             else:
                 pred_x0 = self._predict_start_from_v(sched, x_noisy, t, fx)
-            pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            if self.ae is not None:
+                # latent mode: aux loss in pixel space through the frozen
+                # decoder (xparam/...:316-317); no clamp on z-space pred
+                pred_x0 = self.ae.apply(
+                    jax.lax.stop_gradient(params["ae"]), pred_x0, method="decode"
+                )
+            elif cfg.aux_pred_clip:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
             target_img = x_start if aux_img is None else aux_img
             if cfg.use_aux_loss_weight_schedule:
                 m = cfg.loss_weight_min
@@ -437,7 +472,19 @@ class GaussianDiffusion:
         context_dict = self.compressor.apply(
             params["compressor"], images, bitrate_scale, rng=k_bpp, training=True
         )
-        loss, metrics = self.p_losses(params, images, context_dict, t, k_noise, lagrangian_beta=beta)
+        if self.ae is not None:
+            # diffuse the frozen-AE latent; aux loss still targets pixels
+            # (xparam/denoising_diffusion.py:355-357)
+            z = self.ae.apply(
+                jax.lax.stop_gradient(params["ae"]), images, method="encode"
+            ).mode
+            loss, metrics = self.p_losses(
+                params, z, context_dict, t, k_noise, lagrangian_beta=beta, aux_img=images
+            )
+        else:
+            loss, metrics = self.p_losses(
+                params, images, context_dict, t, k_noise, lagrangian_beta=beta
+            )
         median_loss = self.compressor.apply(
             params["compressor"], method="median_loss"
         )

@@ -1,0 +1,272 @@
+"""Pallas TPU kernels for the conv+LN+ReLU block — measured, kept OFF.
+
+Hypothesis (from an xplane profile of the 768x512 flagship decode): the
+U-Net forward looked HBM-bound with LN/elementwise ops ~29% of device
+time, so fusing the reference Block
+
+    out = relu(LN(conv3x3_same(x [+ in_bias]) + conv_bias)) [+ residual]
+
+into VMEM-resident Pallas kernels should cut full-tensor round trips.
+
+Measured verdict (v5e-via-axon, 17-step 768x512 bf16 decode; XLA
+baseline 39.7 denoise-steps/s):
+
+* `fused_block` w/ hand-rolled halo DMA + 128-lane channel padding
+  (Mosaic rejects row-sliced HBM copies with unaligned lane extents,
+  so 64-ch layers pay 2x bytes+FLOPs): 33.2; with double-buffered
+  prefetch: 36.1 — still short of XLA.
+* `fused_block` w/ stacked overlapping halo windows (BlockSpec
+  auto-pipelining, no channel pad): the nt-way stack-of-slices stalls
+  XLA compiles; a row-gather instead compiles but runs 24.8.
+* `fused_layernorm` epilogue-only (conv stays XLA): 23.4 — each
+  pallas_call is an opaque custom-call boundary that defeats XLA's own
+  conv+epilogue fusions, which are evidently already good.
+
+Conclusion: XLA:TPU wins on this op mix; the kernels remain available
+behind `enable_fused_blocks` (decode-only, no VJP) as infrastructure
+for shapes/workloads where the trade-off may flip (e.g. very large
+tiles under tile-parallel decode), but the default path is pure XLA.
+
+Numerics match `models.layers.Block` (fp32 LN statistics) — asserted in
+tests/test_pallas.py against the XLA path in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+
+# ---------------------------------------------------------------------------
+# global toggle — models.layers.Block consults this at trace time
+# ---------------------------------------------------------------------------
+
+_FUSED_BLOCKS = False
+
+
+def enable_fused_blocks(on: bool) -> None:
+    """Route `models.layers.Block` (3x3, non-large) through `fused_block`.
+
+    Off by default: the kernel has no VJP, so it is decode-only — enable
+    around inference/bench paths (cli.compress, bench.py), never under
+    `jax.grad`. TPU backend only; Block falls back to XLA elsewhere."""
+    global _FUSED_BLOCKS
+    _FUSED_BLOCKS = bool(on)
+
+
+def fused_blocks_active() -> bool:
+    return _FUSED_BLOCKS and jax.default_backend() == "tpu"
+
+
+def _block_kernel(
+    xw_ref, w_ref, bias_ref, scale_ref, shift_ref, res_ref, o_ref,
+    *, th: int, wdt: int, cin: int, cout: int, eps: float,
+    relu: bool, has_residual: bool,
+):
+    x = xw_ref[0, 0]  # (th+2, wdt+2, cin) halo window
+    acc = jnp.broadcast_to(
+        bias_ref[...].astype(jnp.float32), (th * wdt, cout)
+    )
+    for dy in range(3):
+        for dx in range(3):
+            patch = x[dy : dy + th, dx : dx + wdt, :].reshape(th * wdt, cin)
+            acc = acc + jnp.dot(
+                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    mean = jnp.mean(acc, axis=-1, keepdims=True)
+    cent = acc - mean
+    var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+    y = cent * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[...].astype(jnp.float32) + shift_ref[...].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y = y.reshape(th, wdt, cout)
+    if has_residual:
+        y = y + res_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pick_tile(h: int, w: int, cin: int, cout: int, dtype_bytes: int = 2) -> int:
+    """Largest row-tile (divisor of h) fitting the scoped-VMEM budget.
+
+    Accounts for what Mosaic actually stack-allocates (verified against a
+    compile-time OOM at 512x768xf32): the double-buffered input window
+    and output block, the fp32 accumulator, ~2 live shifted-patch
+    temporaries from the 9-tap dot loop, and several (th*w, cout) fp32
+    LN-epilogue temporaries — hence ~2.5x headroom against the 16MB
+    scoped-VMEM default."""
+    budget = 6 * 1024 * 1024
+    best = 1
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        in_bytes = 2 * (th + 2) * (w + 2) * cin * dtype_bytes  # double-buffered
+        out_bytes = 2 * th * w * cout * dtype_bytes
+        acc_bytes = th * w * cout * 4
+        patch_bytes = 2 * th * w * cin * dtype_bytes
+        if in_bytes + out_bytes + acc_bytes + patch_bytes <= budget:
+            best = th
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "eps", "interpret"))
+def fused_block(
+    x: jax.Array,
+    w: jax.Array,
+    conv_bias: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    in_bias: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    *,
+    relu: bool = True,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """relu(LN(conv3x3_same(x [+ in_bias]) + conv_bias)) [+ residual].
+
+    x (B,H,W,Cin); w (3,3,Cin,Cout); conv_bias/gamma/beta (Cout,);
+    in_bias (B,Cin) — the ResnetBlock time bias applied to the *input*
+    (i.e. fuse `h + t` into the following Block); residual (B,H,W,Cout).
+    Batch is looped at the grid level; B=1 per step keeps windows simple.
+    """
+    b, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    # keep the MXU dots in the activation dtype (a fp32 weight against a
+    # bf16 activation would silently promote the matmul to fp32)
+    w = w.astype(x.dtype)
+    th = _pick_tile(h, wdt, cin, cout, dtype_bytes=x.dtype.itemsize)
+    nt = h // th
+    grid = (b, nt)
+
+    if in_bias is not None:
+        # fold the (per-sample) input bias into the window pass — XLA
+        # fuses add+pad+stack into one read of x, and the padding ring
+        # stays zero ('SAME' conv semantics)
+        x = x + in_bias[:, None, None, :].astype(x.dtype)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # stacked overlapping halo windows: (b, nt, th+2, W+2, Cin). One
+    # row-gather, not an nt-way stack-of-slices — the latter inflates the
+    # HLO (nt up to ~128 concat operands per call site) enough to stall
+    # XLA compiles inside the scanned decode loop.
+    row_idx = jnp.arange(nt)[:, None] * th + jnp.arange(th + 2)[None, :]
+    windows = x_pad[:, row_idx]
+
+    has_residual = residual is not None
+    res = residual if has_residual else jnp.zeros((b, 1, 1, cout), x.dtype)
+
+    kernel = functools.partial(
+        _block_kernel,
+        th=th, wdt=wdt, cin=cin, cout=cout, eps=eps, relu=relu,
+        has_residual=has_residual,
+    )
+
+    res_spec = (
+        pl.BlockSpec((1, th, wdt, cout), lambda bi, i: (bi, i, 0, 0))
+        if has_residual
+        else pl.BlockSpec((1, 1, 1, cout), lambda bi, i: (bi, 0, 0, 0))
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, th + 2, wdt + 2, cin), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda bi, i: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+            res_spec,
+        ],
+        out_specs=pl.BlockSpec((1, th, wdt, cout), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), x.dtype),
+        interpret=interpret,
+    )(windows, w, conv_bias, gamma, beta, res)
+
+
+# ---------------------------------------------------------------------------
+# fused LayerNorm epilogue — the measured win on the decode path
+# ---------------------------------------------------------------------------
+
+
+def _ln_kernel(
+    y_ref, scale_ref, shift_ref, res_ref, o_ref,
+    *, eps: float, relu: bool, has_residual: bool,
+):
+    y = y_ref[0].astype(jnp.float32)  # (th, W, C)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    cent = y - mean
+    var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+    out = cent * jax.lax.rsqrt(var + eps)
+    out = out * scale_ref[...].astype(jnp.float32) + shift_ref[...].astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    if has_residual:
+        out = out + res_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pick_ln_tile(h: int, w: int, c: int, dtype_bytes: int) -> int:
+    """Row tile for the LN kernel: in+out double-buffered blocks plus a
+    handful of fp32 temporaries, under the same conservative budget."""
+    budget = 6 * 1024 * 1024
+    best = 1
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        io_bytes = 4 * th * w * c * dtype_bytes  # in+out, double-buffered
+        tmp_bytes = 4 * th * w * c * 4  # fp32 cast + centered + out temps
+        if io_bytes + tmp_bytes <= budget:
+            best = th
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "eps", "interpret"))
+def fused_layernorm(
+    y: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    residual: Optional[jax.Array] = None,
+    *,
+    relu: bool = True,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """[relu(]LN_channel(y)·γ+β[)] [+ residual] in ONE HBM pass.
+
+    The channelwise LayerNorm + ReLU (+ skip add) after each conv is
+    where XLA leaves bandwidth on the table (separate reduce + normalize
+    passes); here statistics, affine, ReLU and the residual ride a single
+    read and a single write. No halo — plain row-blocked BlockSpecs,
+    auto-pipelined. fp32 statistics match `models.layers.ChannelLayerNorm`.
+    """
+    b, h, w, c = y.shape
+    th = _pick_ln_tile(h, w, c, y.dtype.itemsize)
+    grid = (b, h // th)
+    has_residual = residual is not None
+    res = residual if has_residual else jnp.zeros((b, 1, 1, c), y.dtype)
+    res_spec = (
+        pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0))
+        if has_residual
+        else pl.BlockSpec((1, 1, 1, c), lambda bi, i: (bi, 0, 0, 0))
+    )
+    kernel = functools.partial(
+        _ln_kernel, eps=eps, relu=relu, has_residual=has_residual
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((c,), lambda bi, i: (0,)),
+            pl.BlockSpec((c,), lambda bi, i: (0,)),
+            res_spec,
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), y.dtype),
+        interpret=interpret,
+    )(y, gamma, beta, res)

@@ -100,10 +100,76 @@ def x_family(
         aux_loss_type=aux_loss_type,
         use_loss_weight=use_loss_weight,
         loss_weight_min=loss_weight_min,
+        aux_pred_clip=False,  # xparam/...:311-317 does not clamp pred_x0
         embd_type=embd_type,
         sample_time_convention="index_frac",
     )
     return GaussianDiffusion(unet, compressor, cfg, perceptual_fn=perceptual_fn)
+
+
+def latent_family(
+    *,
+    dim: int = 64,
+    ae_ch: int = 128,
+    z_channels: int = 3,
+    ae_ch_mult: Tuple[int, ...] = (1, 2, 4),
+    lagrangian: float = 0.0032,
+    aux_loss_weight: float = 0.0,
+    aux_loss_type: str = "l2",
+    num_timesteps: int = 8193,
+    pred_mode: str = "x",
+    embd_type: str = "01",
+    use_loss_weight: bool = True,
+    loss_weight_min: float = 5.0,
+    perceptual_fn=None,
+) -> GaussianDiffusion:
+    """Latent-space diffusion codec behind a frozen `AutoencoderKL`.
+
+    The capability the reference designed but shipped broken
+    (xparam/train.py:104-114 intends z_channels=3, ch_mult=[1,2,4],
+    ch=128; SURVEY §2.5 documents the two bugs). Working geometry: the AE
+    downsamples 2^(len(ch_mult)-1)=4x, so the U-Net runs on z at 1/4
+    image resolution; the compressor's context pyramid must therefore sit
+    at z-relative scales — achieved with a 2-stage `reverse_dim_mults`
+    (pyramid at image-1/4 and image-1/8) and a 2-level U-Net context
+    contract, instead of the reference's impossible image-scale pyramid.
+    """
+    from ..models.autoencoder import AutoencoderKL
+
+    ae_down = 2 ** (len(ae_ch_mult) - 1)
+    assert ae_down == 4, "latent preset assumes a 4x AE (ch_mult of length 3)"
+    unet = Unet(
+        dim=dim,
+        channels=z_channels,
+        context_channels=dim,
+        dim_mults=(1, 2, 3, 4),
+        context_dim_mults=(1, 2),
+        embd_type=embd_type,
+    )
+    compressor = ResnetCompressor(
+        dim=dim,
+        dim_mults=(1, 2, 3, 4),
+        reverse_dim_mults=(4, 3),
+        hyper_dims_mults=(4, 4, 4),
+        channels=3,
+        out_channels=dim,
+    )
+    ae = AutoencoderKL(ch=ae_ch, z_channels=z_channels, ch_mult=ae_ch_mult)
+    cfg = DiffusionConfig(
+        num_timesteps=num_timesteps,
+        var_schedule="cosine",
+        pred_mode=pred_mode,
+        loss_type="l2",
+        lagrangian=lagrangian,
+        aux_loss_weight=aux_loss_weight,
+        aux_loss_type=aux_loss_type,
+        use_loss_weight=use_loss_weight,
+        loss_weight_min=loss_weight_min,
+        aux_pred_clip=False,
+        embd_type=embd_type,
+        sample_time_convention="index_frac",
+    )
+    return GaussianDiffusion(unet, compressor, cfg, perceptual_fn=perceptual_fn, ae=ae)
 
 
 def init_params(engine: GaussianDiffusion, rng, image_hw: Tuple[int, int] = (256, 256)):

@@ -211,3 +211,61 @@ class TestGoldenDDIM:
             np.transpose(np.asarray(got), (0, 3, 1, 2)), want.numpy(), rtol=1e-3, atol=2e-3
         )
         np.testing.assert_allclose(np.asarray(got_bpp), want_bpp.numpy(), rtol=1e-3, atol=1e-4)
+
+
+class TestLatentMode:
+    """Latent-space diffusion behind a frozen AutoencoderKL — the
+    reference's `ae_fn` capability (xparam/denoising_diffusion.py:221-231,
+    350-360), wired working here (the reference shipped it broken,
+    SURVEY §2.5)."""
+
+    def _latent_engine(self, aux_loss_weight=0.0):
+        unet = models.Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,),
+                           channels=3, context_channels=3)
+        # latent at 1/8, one decode stage -> context pyramid at image-1/4
+        # = z resolution (AE downsamples 4x)
+        comp = models.ResnetCompressor(dim=8, dim_mults=(1, 2, 3),
+                                       reverse_dim_mults=(3,),
+                                       hyper_dims_mults=(1,),
+                                       channels=3, out_channels=3)
+        from cdc_compression_tpu.models.autoencoder import AutoencoderKL
+        ae = AutoencoderKL(ch=8, z_channels=3, ch_mult=(1, 2, 4), num_res_blocks=1)
+        cfg = DiffusionConfig(num_timesteps=64, var_schedule="cosine", pred_mode="x",
+                              loss_type="l2", aux_loss_weight=aux_loss_weight,
+                              aux_loss_type="l2", aux_pred_clip=False,
+                              sample_time_convention="index_frac")
+        return GaussianDiffusion(unet, comp, cfg, ae=ae)
+
+    def _latent_params(self, eng, hw=32):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jnp.zeros((1, hw, hw, 3))
+        comp_p = eng.compressor.init(k2, x)
+        ctx = eng.compressor.apply(comp_p, x)["output"]
+        ae_p = eng.ae.init(k3, x)
+        z = eng.ae.apply(ae_p, x, method="encode").mode
+        unet_p = eng.unet.init(k1, z, jnp.zeros((1, 1)), ctx)
+        return {"unet": unet_p, "compressor": comp_p, "ae": ae_p}
+
+    def test_loss_finite_and_ae_frozen(self):
+        eng = self._latent_engine(aux_loss_weight=0.5)
+        params = self._latent_params(eng)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 2 - 1
+
+        def loss_fn(p):
+            return eng.loss(p, x, jax.random.PRNGKey(2))[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        # AE is frozen: its grads must be exactly zero
+        ae_gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["ae"]))
+        assert ae_gnorm == 0.0
+        unet_gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["unet"]))
+        assert unet_gnorm > 0.0
+
+    def test_compress_decodes_to_image_shape(self):
+        eng = self._latent_engine()
+        params = self._latent_params(eng)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3)) * 2 - 1
+        decoded, bpp = eng.compress(params, x, sample_steps=3, rng=jax.random.PRNGKey(4))
+        assert decoded.shape == x.shape
+        assert np.isfinite(float(bpp))
