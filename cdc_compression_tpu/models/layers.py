@@ -404,3 +404,77 @@ class TimeEmbeddingIndex(nn.Module):
         h = nn.Dense(self.dim * 4, name="fc1", kernel_init=_dense_torch_init)(emb)
         h = nn.gelu(h, approximate=False)
         return nn.Dense(self.dim, name="fc2", kernel_init=_dense_torch_init)(h)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Classic transformer sinusoidal embedding (network_components.py:19-31;
+    defined-but-unused in the reference unet — kept for capability parity)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B,) float timestep
+        half_dim = self.dim // 2
+        scale = math.log(10000.0) / (half_dim - 1)
+        freqs = jnp.exp(-scale * jnp.arange(half_dim, dtype=jnp.float32))
+        ang = x.reshape(-1, 1).astype(jnp.float32) * freqs[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# recurrent conv cells (video-era capability, network_components.py:142-301)
+# ---------------------------------------------------------------------------
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM cell over NHWC maps (network_components.py:142-226).
+
+    One fused 4x-wide conv over [x, h] produces the input/forget/cell/out
+    gates — a single MXU matmul per step instead of four. State is an
+    (h, c) tuple shaped (B, H, W, hidden).
+    """
+
+    hidden: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, state):
+        h, c = state
+        gates = Conv2d(
+            4 * self.hidden, self.kernel_size, padding=self.kernel_size // 2, name="gates"
+        )(jnp.concatenate([x, h], axis=-1))
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return h, (h, c)
+
+    @staticmethod
+    def init_state(batch, height, width, hidden, dtype=jnp.float32):
+        z = jnp.zeros((batch, height, width, hidden), dtype)
+        return (z, z)
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU cell over NHWC maps (network_components.py:229-301)."""
+
+    hidden: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, h):
+        rz = Conv2d(
+            2 * self.hidden, self.kernel_size, padding=self.kernel_size // 2, name="rz"
+        )(jnp.concatenate([x, h], axis=-1))
+        r, z = jnp.split(jax.nn.sigmoid(rz), 2, axis=-1)
+        n = jnp.tanh(
+            Conv2d(self.hidden, self.kernel_size, padding=self.kernel_size // 2, name="n")(
+                jnp.concatenate([x, r * h], axis=-1)
+            )
+        )
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    @staticmethod
+    def init_state(batch, height, width, hidden, dtype=jnp.float32):
+        return jnp.zeros((batch, height, width, hidden), dtype)

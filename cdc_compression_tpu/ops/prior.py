@@ -99,6 +99,48 @@ class FlexiblePrior(nn.Module):
         lower = jax.nn.sigmoid(lower * sign)
         return lower_bound(jnp.abs(upper - lower), jnp.asarray(self.likelihood_min, x.dtype))
 
+    def pdf(self, x: jax.Array) -> jax.Array:
+        """Density = d/dx sigmoid(cdf_logits(x)) via forward-mode AD
+        (reference `FlexiblePrior.pdf`, network_components.py:482-494)."""
+        _, tangent = jax.jvp(self.cdf, (x,), (jnp.ones_like(x),))
+        return tangent
+
+    def icdf(self, p: jax.Array, bisect_iters: int = 60) -> jax.Array:
+        """Inverse CDF by bracket-doubling + bisection — inference-only
+        utility matching reference network_components.py:510-539.
+
+        Fully jittable: a `lax.while_loop` doubles the symmetric bracket
+        until it contains every requested quantile, then `lax.fori_loop`
+        bisects to float32 resolution.
+        """
+
+        def covered(lo, hi):
+            return jnp.all(self.cdf(lo) <= p) & jnp.all(self.cdf(hi) >= p)
+
+        init = (jnp.full_like(p, -1.0), jnp.full_like(p, 1.0))
+        lo, hi = jax.lax.while_loop(
+            lambda lh: ~covered(*lh),
+            lambda lh: (lh[0] * 2.0, lh[1] * 2.0),
+            init,
+        )
+
+        def bisect(_, lh):
+            lo, hi = lh
+            mid = 0.5 * (lo + hi)
+            go_up = self.cdf(mid) < p
+            return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    def sample(self, rng: jax.Array, shape: Sequence[int]) -> jax.Array:
+        """Draw hyper-latent samples by inverse-transform sampling
+        (reference network_components.py:541-549). `shape` must end in
+        the channel dim; returns float32 NHWC samples."""
+        assert shape[-1] == self.channels, "last dim must be channels"
+        u = jax.random.uniform(rng, tuple(shape), jnp.float32, 1e-5, 1.0 - 1e-5)
+        return self.icdf(u)
+
     def median_loss(self) -> jax.Array:
         """Sum |cdf_logits(medians)| with params detached (reference :496-500).
 

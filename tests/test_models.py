@@ -210,3 +210,42 @@ class TestGoldenNetworks:
         np.testing.assert_allclose(
             np.asarray(got["bpp"]), want["bpp"].numpy(), rtol=1e-3, atol=1e-4
         )
+
+
+class TestAuxLayers:
+    def test_sinusoidal_pos_emb_golden(self, reference_modules):
+        import torch
+        from cdc_compression_tpu.models.layers import SinusoidalPosEmb
+
+        t = np.array([0.0, 1.0, 17.0, 400.0], np.float32)
+        got = np.asarray(SinusoidalPosEmb(dim=16).apply({}, jnp.asarray(t)))
+        want = reference_modules.nc.SinusoidalPosEmb(16)(torch.tensor(t)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_conv_lstm_cell_scan(self):
+        from cdc_compression_tpu.models.layers import ConvLSTMCell
+
+        cell = ConvLSTMCell(hidden=8)
+        x = jnp.zeros((2, 6, 6, 4))
+        state = ConvLSTMCell.init_state(2, 6, 6, 8)
+        params = cell.init(jax.random.PRNGKey(0), x, state)
+        seq = jax.random.normal(jax.random.PRNGKey(1), (5, 2, 6, 6, 4))
+
+        def step(carry, xt):
+            h, carry = cell.apply(params, xt, carry)
+            return carry, h
+
+        _, hs = jax.lax.scan(step, state, seq)
+        assert hs.shape == (5, 2, 6, 6, 8)
+        assert bool(jnp.isfinite(hs).all())
+
+    def test_conv_gru_cell(self):
+        from cdc_compression_tpu.models.layers import ConvGRUCell
+
+        cell = ConvGRUCell(hidden=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 4))
+        h0 = ConvGRUCell.init_state(2, 6, 6, 8)
+        params = cell.init(jax.random.PRNGKey(1), x, h0)
+        h, new = cell.apply(params, x, h0)
+        assert h.shape == (2, 6, 6, 8) and np.shares_memory is not None
+        assert bool(jnp.isfinite(h).all())

@@ -210,3 +210,40 @@ class TestGoldenVsReference:
         got_ml = float(prior.apply(params, method=ops.FlexiblePrior.median_loss))
         want_ml = float(ref_prior.get_extraloss().detach())
         assert got_ml == pytest.approx(want_ml, rel=1e-5)
+
+
+class TestPriorSampling:
+    def _prior(self, C=4):
+        prior = ops.FlexiblePrior(channels=C)
+        params = prior.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 2, 2, C)), method=ops.FlexiblePrior.likelihood
+        )
+        return prior, params
+
+    def test_icdf_inverts_cdf(self):
+        prior, params = self._prior()
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 3, 4).astype(np.float32) * 3)
+        p = prior.apply(params, x, method=ops.FlexiblePrior.cdf)
+        x_rec = prior.apply(params, p, method=ops.FlexiblePrior.icdf)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-3)
+
+    def test_pdf_nonnegative_matches_fd(self):
+        prior, params = self._prior()
+        x = jnp.asarray(np.linspace(-4, 4, 8, dtype=np.float32).reshape(1, 2, 1, 4))
+        pdf = np.asarray(prior.apply(params, x, method=ops.FlexiblePrior.pdf))
+        assert (pdf >= 0).all()
+        eps = 1e-3
+        hi = np.asarray(prior.apply(params, x + eps, method=ops.FlexiblePrior.cdf))
+        lo = np.asarray(prior.apply(params, x - eps, method=ops.FlexiblePrior.cdf))
+        np.testing.assert_allclose(pdf, (hi - lo) / (2 * eps), atol=1e-3)
+
+    def test_sample_median_matches_icdf_half(self):
+        prior, params = self._prior()
+        s = prior.apply(
+            params, jax.random.PRNGKey(7), (4096, 1, 1, 4), method=ops.FlexiblePrior.sample
+        )
+        med = np.median(np.asarray(s).reshape(-1, 4), axis=0)
+        want = np.asarray(
+            prior.apply(params, jnp.full((1, 1, 1, 4), 0.5), method=ops.FlexiblePrior.icdf)
+        ).ravel()
+        np.testing.assert_allclose(med, want, atol=0.25)
