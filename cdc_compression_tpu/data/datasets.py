@@ -170,15 +170,149 @@ _EVAL_TRANSFORMS = {
 }
 
 
-# Video/physics datasets the reference carries as unused leftovers from a
-# video-codec era (kth_actions, bair, moving_mnist, bouncing_ball, big,
-# youtube, uvg, audi, city, climate, simu — `data/datasets/*`, SURVEY
-# §2.8). They are not on any code path of the image codec; requesting one
-# raises with this context instead of silently training on nothing.
-_VIDEO_LEFTOVERS = frozenset({
-    "kth_actions", "bair", "moving_mnist", "stochastic_moving_mnist",
-    "bouncing_ball", "big", "youtube", "uvg", "audi", "city", "climate", "simu",
-})
+# ---------------------------------------------------------------------------
+# sequence (video / physics) datasets — reference `data/datasets/*` zoo
+# ---------------------------------------------------------------------------
+
+
+class FrameSequenceDataset:
+    """Directory-of-videos dataset: each subdir holds one clip's frames.
+
+    Covers the reference's frame-folder video family (`datasets/kth_actions.py`,
+    `bair.py`, `big.py`, `youtube.py`, `uvg.py`, `audi.py`, `city.py` — all
+    read per-clip frame folders after their converters run). Returns
+    [S,H,W,3] float32 in [0,1]; spatial transforms are applied with a
+    per-item cloned RNG so every frame of a clip gets the same crop/flip.
+    """
+
+    def __init__(self, root: str, seq_len: int = 7, train: bool = True,
+                 transforms: Sequence[Callable] = (), exts: Tuple[str, ...] = _IMG_EXTS):
+        root_p = Path(root)
+        clips = []
+        for d in sorted(p for p in root_p.iterdir() if p.is_dir()):
+            frames = sorted(str(p) for p in d.iterdir() if p.suffix.lower() in exts)
+            if len(frames) >= seq_len:
+                clips.append(frames)
+        if not clips:
+            raise FileNotFoundError(f"no clips with >= {seq_len} frames under {root}")
+        self.clips = clips
+        self.seq_len = seq_len
+        self.train = train
+        self.transforms = list(transforms)
+
+    def __len__(self):
+        return len(self.clips)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        rng = rng or np.random.RandomState()
+        frames = self.clips[idx]
+        # temporal crop: random when training (reference RandomSequenceCrop,
+        # transforms.py:127), fixed head when eval (FixedSequenceCrop :149)
+        start = rng.randint(0, len(frames) - self.seq_len + 1) if self.train else 0
+        seed = rng.randint(0, 2**31 - 1)
+        out = []
+        for f in frames[start : start + self.seq_len]:
+            img = _load_image(f)
+            frng = np.random.RandomState(seed)  # same draws per frame
+            for t in self.transforms:
+                img = t(img, frng)
+            out.append(np.asarray(img, np.float32) / 255.0)
+        return np.stack(out, 0)
+
+
+class NpySequenceDataset:
+    """.npy physics-field sequences (reference `datasets/climate.py:8-39`,
+    `simu.py:7-47`): one file per trajectory, [T,H,W] or [T,H,W,C];
+    min-max normalized to [0,1], grayscale expanded to 3 channels."""
+
+    def __init__(self, root: str, seq_len: int = 7, train: bool = True):
+        self.files = sorted(str(p) for p in Path(root).rglob("*.npy"))
+        if not self.files:
+            raise FileNotFoundError(f"no .npy trajectories under {root}")
+        self.seq_len = seq_len
+        self.train = train
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        rng = rng or np.random.RandomState()
+        arr = np.load(self.files[idx]).astype(np.float32)
+        if arr.ndim == 3:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        lo, hi = float(arr.min()), float(arr.max())
+        arr = (arr - lo) / (hi - lo + 1e-8)
+        t0 = rng.randint(0, max(1, arr.shape[0] - self.seq_len + 1)) if self.train else 0
+        return arr[t0 : t0 + self.seq_len]
+
+
+class MovingMNISTDataset:
+    """Standard `mnist_test_seq.npy` (20,N,64,64) moving-MNIST file
+    (reference `datasets/moving_mnist.py` after its auto-download,
+    `load_dataset.py:165-208`)."""
+
+    def __init__(self, path: str, seq_len: int = 10, train: bool = True):
+        p = Path(path)
+        if p.is_dir():
+            p = p / "mnist_test_seq.npy"
+        data = np.load(str(p))  # (T, N, 64, 64)
+        split = int(data.shape[1] * 0.9)
+        self.data = data[:, :split] if train else data[:, split:]
+        self.seq_len = seq_len
+        self.train = train
+
+    def __len__(self):
+        return self.data.shape[1]
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        rng = rng or np.random.RandomState()
+        T = self.data.shape[0]
+        t0 = rng.randint(0, T - self.seq_len + 1) if self.train else 0
+        seq = self.data[t0 : t0 + self.seq_len, idx].astype(np.float32) / 255.0
+        return np.repeat(seq[..., None], 3, axis=-1)
+
+
+class BouncingBallDataset:
+    """Procedural bouncing-ball clips (reference `datasets/bouncing_ball`
+    + its creator script): deterministic per (seed, index)."""
+
+    def __init__(self, num_items: int = 1024, seq_len: int = 10, size: int = 32,
+                 n_balls: int = 2, seed: int = 0, train: bool = True):
+        self.num_items = num_items
+        self.seq_len = seq_len
+        self.size = size
+        self.n_balls = n_balls
+        self.seed = seed if train else seed + 1_000_003
+
+    def __len__(self):
+        return self.num_items
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        g = np.random.RandomState((self.seed * 7919 + idx) & 0x7FFFFFFF)
+        s, r = self.size, max(2, self.size // 16)
+        pos = g.uniform(r, s - r, (self.n_balls, 2))
+        vel = g.uniform(-2.0, 2.0, (self.n_balls, 2))
+        yy, xx = np.mgrid[0:s, 0:s]
+        frames = np.zeros((self.seq_len, s, s), np.float32)
+        for t in range(self.seq_len):
+            for bidx in range(self.n_balls):
+                cy, cx = pos[bidx]
+                frames[t] += ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
+            pos += vel
+            for d in range(2):
+                over = pos[:, d] > s - r
+                under = pos[:, d] < r
+                pos[over, d], pos[under, d] = 2 * (s - r) - pos[over, d], 2 * r - pos[under, d]
+                vel[over | under, d] *= -1.0
+        frames = np.clip(frames, 0.0, 1.0)
+        return np.repeat(frames[..., None], 3, axis=-1)
+
+
+# Video/physics names from the reference zoo (`data/datasets/*`, SURVEY
+# §2.8): served by the generic sequence datasets above. They are not on
+# any code path of the image codec.
+_FRAME_FOLDER_NAMES = frozenset({"kth_actions", "bair", "big", "youtube", "uvg", "audi", "city"})
+_NPY_NAMES = frozenset({"climate", "simu"})
 
 
 def load_dataset(name: str, path: str, train: bool = True, img_size: int = 256,
@@ -189,12 +323,15 @@ def load_dataset(name: str, path: str, train: bool = True, img_size: int = 256,
     stacks follow the reference's deterministic per-dataset pipelines.
     """
     name = name.lower()
-    if name in _VIDEO_LEFTOVERS:
-        raise NotImplementedError(
-            f"dataset '{name}' is a video/physics leftover in the reference "
-            "with no role in the image codec; use an image dataset "
-            "(vimeo/kodak/tecnick/div2k/coco or any image folder)"
-        )
+    if name in _FRAME_FOLDER_NAMES:
+        tfs = [RandomCrop(img_size)] if train else [CenterCrop(img_size)]
+        return FrameSequenceDataset(path, train=train, transforms=tfs)
+    if name in _NPY_NAMES:
+        return NpySequenceDataset(path, train=train)
+    if name in ("moving_mnist", "stochastic_moving_mnist"):
+        return MovingMNISTDataset(path, train=train)
+    if name == "bouncing_ball":
+        return BouncingBallDataset(train=train)
     if train:
         tfs: List[Callable] = [RandomCrop(img_size)]
         if hflip:

@@ -80,3 +80,55 @@ class TestBitstream:
         data[0] = 0
         with pytest.raises(AssertionError):
             small_codec.decode_latents(bytes(data))
+
+
+class TestSequenceDatasets:
+    def test_frame_sequence_dataset(self, tmp_path):
+        from PIL import Image
+        from cdc_compression_tpu.data.datasets import FrameSequenceDataset, RandomCrop
+
+        for clip in range(2):
+            d = tmp_path / f"clip{clip}"
+            d.mkdir()
+            for t in range(5):
+                Image.fromarray(
+                    (np.random.RandomState(clip * 10 + t).rand(40, 48, 3) * 255).astype(np.uint8)
+                ).save(d / f"{t:03d}.png")
+        ds = FrameSequenceDataset(str(tmp_path), seq_len=3, train=True, transforms=[RandomCrop(32)])
+        assert len(ds) == 2
+        seq = ds.__getitem__(0, rng=np.random.RandomState(0))
+        assert seq.shape == (3, 32, 32, 3) and seq.dtype == np.float32
+        # eval mode: deterministic head crop
+        ds_e = FrameSequenceDataset(str(tmp_path), seq_len=3, train=False)
+        a = ds_e.__getitem__(1, rng=np.random.RandomState(1))
+        b = ds_e.__getitem__(1, rng=np.random.RandomState(2))
+        np.testing.assert_array_equal(a, b)
+
+    def test_npy_sequence_dataset(self, tmp_path):
+        from cdc_compression_tpu.data.datasets import NpySequenceDataset
+
+        np.save(tmp_path / "traj.npy", np.random.RandomState(0).rand(9, 16, 16).astype(np.float32))
+        ds = NpySequenceDataset(str(tmp_path), seq_len=4, train=False)
+        seq = ds.__getitem__(0)
+        assert seq.shape == (4, 16, 16, 3)
+        assert seq.min() >= 0.0 and seq.max() <= 1.0
+
+    def test_bouncing_ball(self):
+        from cdc_compression_tpu.data.datasets import BouncingBallDataset
+
+        ds = BouncingBallDataset(num_items=4, seq_len=5, size=32)
+        a = ds.__getitem__(2)
+        b = ds.__getitem__(2)
+        np.testing.assert_array_equal(a, b)  # deterministic per index
+        assert a.shape == (5, 32, 32, 3) and a.max() <= 1.0
+        assert a.sum() > 0  # balls drawn
+
+    def test_moving_mnist(self, tmp_path):
+        from cdc_compression_tpu.data.datasets import MovingMNISTDataset
+
+        np.save(tmp_path / "mnist_test_seq.npy",
+                (np.random.RandomState(0).rand(20, 10, 64, 64) * 255).astype(np.uint8))
+        ds = MovingMNISTDataset(str(tmp_path), seq_len=6, train=True)
+        assert len(ds) == 9
+        seq = ds.__getitem__(0, rng=np.random.RandomState(0))
+        assert seq.shape == (6, 64, 64, 3)

@@ -249,3 +249,39 @@ class TestAuxLayers:
         h, new = cell.apply(params, x, h0)
         assert h.shape == (2, 6, 6, 8) and np.shares_memory is not None
         assert bool(jnp.isfinite(h).all())
+
+
+class TestShiftAddConv:
+    def test_matches_direct_bf16_lowering(self):
+        """The bf16 tiny-output-channel decomposition equals XLA's direct
+        conv up to bf16 summation order."""
+        from cdc_compression_tpu.models.layers import Conv2d
+
+        rng = jax.random.PRNGKey(0)
+        for cin, cout, k, p in [(64, 3, 7, 3), (32, 4, 3, 1), (128, 16, 5, 2)]:
+            mod = Conv2d(cout, k, padding=p)
+            x = jax.random.normal(rng, (2, 32, 40, cin), jnp.bfloat16)
+            prm = jax.tree.map(lambda a: a.astype(jnp.bfloat16), mod.init(rng, x))
+            y_fast = mod.apply(prm, x)
+            kern, bias = prm["params"]["kernel"], prm["params"]["bias"]
+            y_ref = jax.lax.conv_general_dilated(
+                x, kern, (1, 1), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            d = np.abs(np.asarray(y_fast, np.float32) - np.asarray(y_ref, np.float32)).max()
+            assert d / np.abs(np.asarray(y_ref, np.float32)).max() < 0.02
+
+    def test_fp32_path_unchanged(self):
+        """fp32 keeps the direct lowering (bit-exact golden parity)."""
+        from cdc_compression_tpu.models.layers import Conv2d
+
+        rng = jax.random.PRNGKey(1)
+        mod = Conv2d(3, 7, padding=3)
+        x = jax.random.normal(rng, (1, 16, 24, 64), jnp.float32)
+        prm = mod.init(rng, x)
+        y = mod.apply(prm, x)
+        y_ref = jax.lax.conv_general_dilated(
+            x, prm["params"]["kernel"], (1, 1), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + prm["params"]["bias"]
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
