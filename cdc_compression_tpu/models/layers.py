@@ -207,6 +207,11 @@ class ChannelLayerNorm(nn.Module):
         # NOTE(perf): the tempting single-pass E[x^2]-E[x]^2 variant was
         # profiled SLOWER on v5e (XLA materializes the square and runs two
         # reduce passes: 23.5 vs 21.6 ms/fwd) — keep the two-pass form.
+        if x.dtype == jnp.bfloat16:
+            # stop XLA from hoisting the fp32 upcast into the producer
+            # (conv/attention) epilogue, which would materialize a 2x-byte
+            # f32 tensor in HBM; identity numerically
+            x = jax.lax.optimization_barrier(x)
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -309,7 +314,27 @@ class LinearAttention(nn.Module):
         dh = self.dim_head if self.dim_head is not None else c
         hidden = dh * self.heads
         scale = dh ** -0.5
-        qkv = Conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
+        to_qkv = Conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")
+        to_out = Conv2d(c, 1, name="to_out")
+        if x.dtype == jnp.bfloat16 and self.heads == 1 and dh == c:
+            # decode fast path: flat GEMMs (the 1x1-conv form makes XLA
+            # relayout the qkv tensor at 768x512 — ~0.6 ms/step of pure
+            # copies); flatten/unflatten here are layout bitcasts
+            wq, _ = to_qkv(x, params_only=True)
+            wo, bo = to_out(x, params_only=True)
+            xf = x.reshape(b, h * w, c)
+            qkv = xf @ wq.reshape(c, 3 * hidden).astype(x.dtype)
+            q = qkv[..., :hidden] * scale
+            k32 = qkv[..., hidden : 2 * hidden].astype(jnp.float32)
+            v = qkv[..., 2 * hidden :]
+            kmax = jnp.max(k32, axis=1, keepdims=True)
+            kexp = jnp.exp(k32 - kmax)
+            kn = (kexp / jnp.sum(kexp, axis=1, keepdims=True)).astype(x.dtype)
+            ctx = jnp.einsum("bnd,bne->bde", kn, v)
+            out = jnp.einsum("bnd,bde->bne", q, ctx)
+            out = out @ wo.reshape(hidden, c).astype(x.dtype) + bo.astype(x.dtype)
+            return out.reshape(b, h, w, c)
+        qkv = to_qkv(x)
         # keep H,W unflattened: under spatial (tile) sharding the softmax
         # normalizer and the (d x e) KV summary reduce over the sharded
         # axes, which XLA GSPMD lowers to psum over ICI — exact, O(d^2)
@@ -324,7 +349,7 @@ class LinearAttention(nn.Module):
         context = jnp.einsum("bxyhd,bxyhe->bhde", k, v)
         out = jnp.einsum("bhde,bxyhd->bxyhe", context, q)
         out = out.reshape(b, h, w, hidden)
-        return Conv2d(c, 1, name="to_out")(out)
+        return to_out(out)
 
 
 class PreNormLinearAttention(nn.Module):

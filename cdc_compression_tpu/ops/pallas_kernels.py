@@ -27,6 +27,23 @@ behind `enable_fused_blocks` (decode-only, no VJP) as infrastructure
 for shapes/workloads where the trade-off may flip (e.g. very large
 tiles under tile-parallel decode), but the default path is pure XLA.
 
+What DID win instead (all in models/layers.py, measured on the same
+flagship decode; 40.0 -> 57.2 denoise-steps/s raw step time):
+
+* tiny-output-channel convs (the 7x7 64->3 output head) as a fat flat
+  GEMM + 49-slice shift-add — 3.3 -> ~1.2 ms (`Conv2d._shift_add_conv`);
+* `optimization_barrier` before every LayerNorm fp32 upcast, stopping
+  XLA from fusing the cast into the producer conv and materializing
+  f32 activations (2x HBM bytes on the hot maps) — ~1.5 ms/step;
+* flat-GEMM qkv/out projections in LinearAttention (bf16 path),
+  removing a 0.6 ms relayout copy of the 192-ch qkv map.
+
+Rejected after measurement: matmul-with-ones LN statistics (extra MXU
+passes + x^2 materialization, 2.4 -> 3.6 ms per L0 block pair);
+width-folding L0 to 128 lanes (1.4x on isolated convs but ~1 ms net in
+graph for a full-stage rewrite); flat-2D-reshape LN (XLA canonicalizes
+it to the identical program).
+
 Numerics match `models.layers.Block` (fp32 LN statistics) — asserted in
 tests/test_pallas.py against the XLA path in interpret mode on CPU.
 """
