@@ -60,11 +60,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_axis", type=int, default=0,
                    help="devices on the data axis (0 = all)")
     p.add_argument("--tile_axis", type=int, default=1)
+    # latent mode (reference xparam/train.py:104-114 `--ae_path`)
+    p.add_argument("--ae_path", default="",
+                   help="pretrained AutoencoderKL weights from cli.train_ae; "
+                        "enables latent-space diffusion (x-family only)")
+    p.add_argument("--ae_ch", type=int, default=128)
+    p.add_argument("--z_channels", type=int, default=3)
     return p
 
 
 def model_name(args) -> str:
     fam = args.family
+    if getattr(args, "ae_path", ""):
+        fam = "latent"  # latent-vs-image naming (xparam/train.py:71-75)
     pm = args.pred_mode or ("noise" if fam == "epsilon" else "x")
     return (
         f"{fam}-{pm}-d{args.embed_dim}-t{args.iteration_step or 'def'}-"
@@ -102,7 +110,22 @@ def main(argv=None):
         aux_loss_type=args.aux_loss_type,
         perceptual_fn=perceptual_fn,
     )
-    if args.family == "epsilon":
+    if args.ae_path:
+        from ..utils.presets import latent_family
+
+        if args.family == "epsilon":
+            raise SystemExit("--ae_path (latent mode) is an x-family capability")
+        engine = latent_family(
+            num_timesteps=args.iteration_step or 8193,
+            pred_mode=args.pred_mode or "x",
+            embd_type=args.embd_type,
+            use_loss_weight=args.use_weighted_loss,
+            loss_weight_min=args.weight_clip,
+            ae_ch=args.ae_ch,
+            z_channels=args.z_channels,
+            **common,
+        )
+    elif args.family == "epsilon":
         engine = epsilon_family(
             vbr=args.vbr,
             num_timesteps=args.iteration_step or 20000,
@@ -154,11 +177,16 @@ def main(argv=None):
         model_name=model_name(args),
     )
     trainer = Trainer(engine, cfg, train_iter, val_iter, mesh=mesh)
+    params = init_params(engine, 0, (args.img_size, args.img_size))
+    if args.ae_path:
+        from flax import serialization
+
+        with open(args.ae_path, "rb") as f:
+            params["ae"] = serialization.from_bytes(params["ae"], f.read())
     if args.load_idx is not None:
-        state = trainer.load(args.load_idx, template=trainer.init_state(
-            init_params(engine, 0, (args.img_size, args.img_size))))
+        state = trainer.load(args.load_idx, template=trainer.init_state(params))
     else:
-        state = trainer.init_state(init_params(engine, 0, (args.img_size, args.img_size)))
+        state = trainer.init_state(params)
     trainer.train(state, jax.random.PRNGKey(0))
 
 

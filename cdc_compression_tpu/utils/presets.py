@@ -173,15 +173,27 @@ def latent_family(
 
 
 def init_params(engine: GaussianDiffusion, rng, image_hw: Tuple[int, int] = (256, 256)):
-    """Initialize a {unet, compressor} param tree for an engine."""
+    """Initialize a {unet, compressor[, ae]} param tree for an engine.
+
+    For latent engines (`engine.ae` set) the U-Net is initialized on the
+    AE's z-shape and an "ae" subtree is included (randomly initialized —
+    overwrite it with pretrained weights from `cli.train_ae`)."""
     import jax
     import jax.numpy as jnp
 
     h, w = image_hw
-    k1, k2 = jax.random.split(jax.random.PRNGKey(rng) if isinstance(rng, int) else rng)
+    k1, k2, k3 = jax.random.split(
+        jax.random.PRNGKey(rng) if isinstance(rng, int) else rng, 3
+    )
     x = jnp.zeros((1, h, w, 3))
     comp_params = engine.compressor.init(k2, x)
     ctx = engine.compressor.apply(comp_params, x)["output"]
     time0 = jnp.zeros((1, 1)) if engine.cfg.embd_type == "01" else jnp.zeros((1,))
-    unet_params = engine.unet.init(k1, x, time0, ctx)
-    return {"unet": unet_params, "compressor": comp_params}
+    net_in = x
+    params = {"compressor": comp_params}
+    if engine.ae is not None:
+        ae_params = engine.ae.init(k3, x, k3, True)
+        net_in = engine.ae.apply(ae_params, x, method="encode").mode
+        params["ae"] = ae_params
+    params["unet"] = engine.unet.init(k1, net_in, time0, ctx)
+    return params
