@@ -132,3 +132,62 @@ class TestSequenceDatasets:
         assert len(ds) == 9
         seq = ds.__getitem__(0, rng=np.random.RandomState(0))
         assert seq.shape == (6, 64, 64, 3)
+
+
+class TestConverters:
+    def test_bair_tfrecord_roundtrip(self, tmp_path):
+        """Synthetic BAIR-layout TFRecord -> PNG clip folders -> dataset."""
+        from PIL import Image
+        from cdc_compression_tpu.data import converters
+        from cdc_compression_tpu.data.datasets import FrameSequenceDataset
+
+        rng = np.random.RandomState(0)
+        payloads = []
+        truth = []
+        for clip in range(2):
+            feats = {}
+            frames = []
+            for t in range(4):
+                img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+                frames.append(img)
+                feats[f"{t}/image_aux1/encoded"] = [img.tobytes()]
+            truth.append(frames)
+            payloads.append(converters.encode_example(feats))
+        rec_dir = tmp_path / "records"; rec_dir.mkdir()
+        converters.write_tfrecord(str(rec_dir / "traj.tfrecord"), payloads)
+
+        out_dir = tmp_path / "frames"
+        n = converters.convert_bair(str(rec_dir), str(out_dir))
+        assert n == 2
+        back = np.asarray(Image.open(out_dir / "clip_000000" / "0002.png"))
+        np.testing.assert_array_equal(back, truth[0][2])
+        ds = FrameSequenceDataset(str(out_dir), seq_len=4, train=False)
+        assert ds.__getitem__(1).shape == (4, 64, 64, 3)
+
+    def test_parse_example_int64_and_float(self):
+        """Wire parser handles varint fields (hand-encoded)."""
+        from cdc_compression_tpu.data import converters
+
+        # Example{features{feature{key:"n" Feature{int64_list{value:[7,300]}}}}}
+        def varint(v):
+            out = b""
+            while True:
+                b7 = v & 0x7F; v >>= 7
+                out += bytes([b7 | (0x80 if v else 0)])
+                if not v: return out
+        def ld(f, p): return varint((f << 3) | 2) + varint(len(p)) + p
+        int64_list = varint((1 << 3) | 0) + varint(7) + varint((1 << 3) | 0) + varint(300)
+        feature = ld(3, int64_list)
+        entry = ld(1, b"n") + ld(2, feature)
+        ex = ld(1, ld(1, entry))
+        parsed = converters.parse_example(ex)
+        assert parsed == {"n": [7, 300]}
+
+    def test_convert_video_frames_gif(self, tmp_path):
+        iio = pytest.importorskip("imageio.v3")
+        from cdc_compression_tpu.data import converters
+
+        frames = (np.random.RandomState(0).rand(5, 32, 32, 3) * 255).astype(np.uint8)
+        iio.imwrite(str(tmp_path / "clip.gif"), frames)
+        n = converters.convert_video_frames(str(tmp_path / "clip.gif"), str(tmp_path / "out"))
+        assert n == 5
