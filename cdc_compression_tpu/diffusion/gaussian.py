@@ -304,7 +304,20 @@ class GaussianDiffusion:
                 f"architecture (pad with data.PadToMultiple({mult}) and crop "
                 "after decode)"
             )
-        ctx_out = self.compressor.apply(params["compressor"], images, bitrate_scale)
+        comp_vars = params["compressor"]
+        if compute_dtype is not None:
+            # synthesis kernels in bf16 (MXU); analysis/hyper/prior stay
+            # fp32 so quantization decisions (= coded symbols) and bpp are
+            # bit-identical to the fp32 path — see BaseCompressor.__call__
+            cvp = comp_vars["params"]
+            cvp = {
+                k: (jax.tree.map(lambda a: a.astype(compute_dtype), v) if k.startswith("dec_") else v)
+                for k, v in cvp.items()
+            }
+            comp_vars = {**comp_vars, "params": cvp}
+        ctx_out = self.compressor.apply(
+            comp_vars, images, bitrate_scale, compute_dtype=compute_dtype
+        )
         context, bpp = ctx_out["output"], ctx_out["bpp"]
         steps = cfg.num_timesteps if sample_steps is None else sample_steps
         sched = make_sample_schedule(self.train_sched, steps)

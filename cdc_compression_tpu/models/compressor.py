@@ -171,10 +171,24 @@ class BaseCompressor(nn.Module):
     def median_loss(self):
         return self.prior.median_loss()
 
-    def __call__(self, x, cond=None, rng=None, training=False) -> Dict[str, Any]:
+    def __call__(self, x, cond=None, rng=None, training=False,
+                 compute_dtype=None) -> Dict[str, Any]:
+        """Full forward (`compress_modules.py:100-109`).
+
+        `compute_dtype=jnp.bfloat16` (pair it with the `dec_*` param
+        kernels cast to bf16, see `GaussianDiffusion.compress`) runs only
+        the *synthesis* stages in bf16. The analysis + hyper path and all
+        quantization/likelihood math stay fp32 on purpose: bf16 noise in
+        the latent flips ~8% of round-to-nearest decisions (symbols!),
+        changing the bitstream and the rate — whereas bf16 in synthesis
+        only adds rounding noise to a context pyramid that is cast to
+        bf16 for the U-Net anyway. q_latent and bpp are bit-identical to
+        the fp32 path.
+        """
         q_latent, q_hyper_latent, state4bpp = self.encode(x, cond)
         bpp = self.bpp(x.shape[1:3], state4bpp, rng=rng, training=training)
-        output = self.decode(q_latent, cond)
+        dq = q_latent if compute_dtype is None else q_latent.astype(compute_dtype)
+        output = self.decode(dq, cond)
         return {
             "output": output,
             "bpp": bpp,

@@ -285,3 +285,61 @@ class TestShiftAddConv:
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + prm["params"]["bias"]
         np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+
+
+class TestCompressorBf16:
+    def test_bf16_forward_tracks_fp32(self):
+        """compute_dtype=bf16 runs only the synthesis stages in bf16: the
+        rate path (q_latent, bpp) is bit-identical to fp32, and the
+        context pyramid deviates only by bf16 rounding."""
+        from cdc_compression_tpu.utils.presets import epsilon_family, init_params
+
+        engine = epsilon_family(dim=16, aux_loss_weight=0.0)
+        params = init_params(engine, 0, image_hw=(64, 64))
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 64, 64, 3) * 2 - 1, jnp.float32
+        )
+
+        out32 = jax.jit(engine.compressor.apply)(params["compressor"], x)
+        cvp = params["compressor"]["params"]
+        cvp = {
+            k: (jax.tree.map(lambda a: a.astype(jnp.bfloat16), v) if k.startswith("dec_") else v)
+            for k, v in cvp.items()
+        }
+        out16 = jax.jit(
+            lambda v, im: engine.compressor.apply(v, im, compute_dtype=jnp.bfloat16)
+        )({"params": cvp}, x)
+
+        # rate path bit-identical: same symbols, same bpp
+        np.testing.assert_array_equal(
+            np.asarray(out32["q_latent"]), np.asarray(out16["q_latent"])
+        )
+        np.testing.assert_array_equal(np.asarray(out32["bpp"]), np.asarray(out16["bpp"]))
+        for a, b in zip(out32["output"], out16["output"]):
+            assert b.dtype == jnp.bfloat16
+            rms = float(jnp.sqrt(jnp.mean(a.astype(jnp.float32) ** 2)))
+            d = float(jnp.abs(a - b.astype(jnp.float32)).max())
+            # bf16 rounding only — no quantization flips
+            assert d < 0.1 * max(1.0, rms)
+
+    def test_engine_compress_bf16_compressor(self):
+        """GaussianDiffusion.compress(compute_dtype=bf16) now covers the
+        compressor too and still returns finite decode + sane bpp."""
+        from cdc_compression_tpu.utils.presets import epsilon_family, init_params
+
+        engine = epsilon_family(dim=16, num_timesteps=32, aux_loss_weight=0.0)
+        params = init_params(engine, 0, image_hw=(64, 64))
+        x = jnp.asarray(
+            np.random.RandomState(1).rand(1, 64, 64, 3) * 2 - 1, jnp.float32
+        )
+        rng = jax.random.PRNGKey(0)
+        dec16, bpp16 = jax.jit(
+            lambda p, im: engine.compress(
+                p, im, sample_steps=4, rng=rng, compute_dtype=jnp.bfloat16
+            )
+        )(params, x)
+        dec32, bpp32 = jax.jit(
+            lambda p, im: engine.compress(p, im, sample_steps=4, rng=rng)
+        )(params, x)
+        assert bool(jnp.isfinite(dec16).all())
+        np.testing.assert_array_equal(np.asarray(bpp16), np.asarray(bpp32))
