@@ -456,6 +456,13 @@ class ImprovedSinusoidalPosEmb(nn.Module):
         return jnp.concatenate([x, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
 
+# The reference's LearnedSinusoidalPosEmb (xparam/network_components.py:142-153)
+# computes the identical forward — ImprovedSinusoidalPosEmb only adds an
+# `is_random` (freeze-weights) switch, which in JAX is a stop_gradient /
+# optimizer-mask decision, not a module one. Alias kept for API parity.
+LearnedSinusoidalPosEmb = ImprovedSinusoidalPosEmb
+
+
 class TimeEmbeddingIndex(nn.Module):
     """ImprovedSinusoidalPosEmb -> MLP (xparam/unet.py:42-49)."""
 
