@@ -71,6 +71,17 @@ class Conv2d(nn.Module):
             and x.dtype == jnp.bfloat16
         ):
             return self._shift_add_conv(x, kernel, bias)
+        if k == 1 and self.stride == 1 and x.shape[-1] <= 16 and x.dtype == jnp.bfloat16:
+            # tiny-input-channel 1x1 conv (the L0 skip conv, 6->64): the
+            # conv form makes XLA relayout the wide output at 768x512
+            # (~170 GB/s measured); a flat GEMM stays in the NHWC-flat
+            # layout its LN/add neighbours use. Exact same dot.
+            n, h, wdt, cin = x.shape
+            y = (x.reshape(-1, cin) @ kernel.reshape(cin, self.features).astype(x.dtype))
+            y = y.reshape(n, h, wdt, self.features)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         y = jax.lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),

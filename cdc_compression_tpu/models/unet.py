@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_kernels
 from .layers import (
     Block,
     ChannelLayerNorm,
@@ -95,5 +96,12 @@ class Unet(nn.Module):
             x = Upsample(dim_in, name=f"up_{ind}_upsample")(x)
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
-        x = ChannelLayerNorm(name="final_norm")(x)
-        return Conv2d(out_dim, 7, padding=3, name="final_conv")(x)
+        norm = ChannelLayerNorm(name="final_norm")
+        conv = Conv2d(out_dim, 7, padding=3, name="final_conv")
+        if pallas_kernels.fused_head_active() and x.dtype == jnp.bfloat16:
+            # decode fast path: LN + 7x7 head in one Pallas HBM pass — the
+            # fat-GEMM intermediate stays in VMEM (see ops.pallas_kernels)
+            g, b = norm(x, params_only=True)
+            w, bias = conv(x, params_only=True)
+            return pallas_kernels.fused_head(x, g, b, w, bias)
+        return conv(norm(x))

@@ -44,6 +44,25 @@ width-folding L0 to 128 lanes (1.4x on isolated convs but ~1 ms net in
 graph for a full-stage rewrite); flat-2D-reshape LN (XLA canonicalizes
 it to the identical program).
 
+Round-1 second pass (hlo_stats profile of the 17-step bf16 decode;
+step 20.1 ms at the time):
+
+* tiny-INPUT-channel 1x1 convs as flat GEMMs (`layers.Conv2d`): the L0
+  skip conv's conv-form lowering cost 0.83 ms/step (0.31 conv at
+  168 GiB/s + 0.52 of relayout copies around it) — the GEMM form
+  removes the relayouts entirely. Step 20.1 -> 17.57 ms (57 steps/s).
+* `fused_head` below (LN + 7x7 head in one pass, fat GEMM in VMEM):
+  MEASURED SLOWER — 42.6 ms/step vs 17.6. The 49 lane-offset tap
+  slices of the (rows, cols, 49*M) intermediate each materialize a
+  lane-rotated copy on Mosaic's stack (~41 MB scoped VMEM, needs a
+  raised per-kernel cap just to compile). Kept available + tested for
+  documentation, OFF by default; the XLA shift-add head (0.63 ms)
+  stays the production path. A faster kernel needs the tap index in
+  sublanes, not lanes.
+* `--xla_tpu_run_space_to_batch=false` (libtpu flag): no-op on this
+  program — the [512,8,97,64]-style conv shapes come from the conv
+  emitter itself, not the SpaceToBatchConverter pass.
+
 Numerics match `models.layers.Block` (fp32 LN statistics) — asserted in
 tests/test_pallas.py against the XLA path in interpret mode on CPU.
 """
@@ -57,12 +76,26 @@ import jax
 import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------------------
-# global toggle — models.layers.Block consults this at trace time
+# global toggles — models.layers / models.unet consult these at trace time
 # ---------------------------------------------------------------------------
 
 _FUSED_BLOCKS = False
+_FUSED_HEAD = False
+
+
+def enable_fused_head(on: bool) -> None:
+    """Route the U-Net output head (final LayerNorm + 7x7 small-cout conv)
+    through `fused_head`. Decode-only (no VJP), bf16 path only — enable
+    around inference/bench, never under `jax.grad`."""
+    global _FUSED_HEAD
+    _FUSED_HEAD = bool(on)
+
+
+def fused_head_active() -> bool:
+    return _FUSED_HEAD and jax.default_backend() == "tpu"
 
 
 def enable_fused_blocks(on: bool) -> None:
@@ -287,3 +320,122 @@ def fused_layernorm(
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), y.dtype),
         interpret=interpret,
     )(y, gamma, beta, res)
+
+
+# ---------------------------------------------------------------------------
+# fused U-Net output head: LayerNorm + KxK conv to a tiny channel count
+# ---------------------------------------------------------------------------
+#
+# The head (`unet.py` final LN -> 7x7 conv 64->3) is pathological for both
+# standard lowerings: the direct conv runs the MXU at 3/128 lanes (~3.3 ms
+# at 768x512), and the shift-add fat GEMM (layers.Conv2d._shift_add_conv)
+# is HBM-bound on the 147-channel intermediate it materializes (~0.6 ms at
+# ~520 GiB/s measured). Here the fat (C, K*K*M) GEMM runs per row-block in
+# VMEM — the intermediate never touches HBM — and the LN that precedes it
+# rides the same read, so the whole head costs ONE pass over x plus the
+# (H,W,M) write.
+
+
+def _head_kernel(
+    xw_ref, g_ref, b_ref, w_ref, bias_ref, o_ref,
+    *, th: int, wdt: int, p: int, cout: int, k: int, eps: float, h: int,
+):
+    i = pl.program_id(1)
+    xw = xw_ref[0, 0]  # (th+2p, wdt+2p, cin) halo window
+    x32 = xw.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cent = x32 - mean
+    var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+    ln = cent * jax.lax.rsqrt(var + eps)
+    ln = ln * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    # zero the SAME-padding ring: LN(0-pixel) = b, but conv must see 0
+    rows = i * th + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * p, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wdt + 2 * p, 1), 1)
+    mask = (rows >= p) & (rows < h + p) & (cols >= p) & (cols < wdt + p)
+    ln = jnp.where(mask, ln, 0.0).astype(xw.dtype)
+    # fat GEMM to K*K*cout lanes, VMEM-resident
+    z = jnp.dot(
+        ln.reshape((th + 2 * p) * (wdt + 2 * p), xw.shape[-1]), w_ref[...],
+        preferred_element_type=jnp.float32,
+    ).reshape(th + 2 * p, wdt + 2 * p, k * k * cout)
+    acc = jnp.broadcast_to(
+        bias_ref[...].astype(jnp.float32), (th, wdt, cout)
+    )
+    for a in range(k):
+        for bb in range(k):
+            s = (a * k + bb) * cout
+            acc = acc + z[a : a + th, bb : bb + wdt, s : s + cout]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _pick_head_tile(h: int, w: int, cin: int, k: int, cout: int) -> int:
+    """Row tile under the scoped-VMEM budget: double-buffered halo windows,
+    fp32 LN temporaries, and the fp32 fat-GEMM intermediate."""
+    budget = 10 * 1024 * 1024
+    p = k // 2
+    best = 1
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        rows, cols = th + 2 * p, w + 2 * p
+        win = 2 * rows * cols * cin * 2       # double-buffered bf16 windows
+        ln_tmp = 2 * rows * cols * cin * 4    # fp32 cast + centered
+        z = rows * cols * k * k * cout * 4    # fp32 fat intermediate
+        if win + ln_tmp + z <= budget:
+            best = th
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_head(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array],
+    *,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """conv_KxK_same(LN_channel(x)·γ+β, w) + bias in one HBM pass.
+
+    x (B,H,W,Cin); w (K,K,Cin,M) with M small (the 3-channel image head);
+    gamma/beta (Cin,); bias (M,) or None. fp32 LN statistics and fp32
+    tap accumulation — numerically matches ChannelLayerNorm + Conv2d's
+    shift-add path (bf16 GEMM, fp32 adds).
+    """
+    b, h, wdt, cin = x.shape
+    k = w.shape[0]
+    cout = w.shape[-1]
+    p = k // 2
+    wf = w.transpose(2, 0, 1, 3).reshape(cin, k * k * cout).astype(x.dtype)
+    th = _pick_head_tile(h, wdt, cin, k, cout)
+    nt = h // th
+    x_pad = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    row_idx = jnp.arange(nt)[:, None] * th + jnp.arange(th + 2 * p)[None, :]
+    windows = x_pad[:, row_idx]  # (B, nt, th+2p, W+2p, Cin)
+    bias_arr = bias if bias is not None else jnp.zeros((cout,), x.dtype)
+    kernel = functools.partial(
+        _head_kernel, th=th, wdt=wdt, p=p, cout=cout, k=k, eps=eps, h=h
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, th + 2 * p, wdt + 2 * p, cin), lambda bi, i: (bi, i, 0, 0, 0)
+            ),
+            pl.BlockSpec((cin,), lambda bi, i: (0,)),
+            pl.BlockSpec((cin,), lambda bi, i: (0,)),
+            pl.BlockSpec((cin, k * k * cout), lambda bi, i: (0, 0)),
+            pl.BlockSpec((cout,), lambda bi, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wdt, cout), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), x.dtype),
+        # the 49 lane-offset tap slices of z materialize rotated copies on
+        # Mosaic's stack — raise the per-kernel scoped-VMEM cap for them
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(windows, gamma, beta, wf, bias_arr)

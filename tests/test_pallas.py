@@ -178,3 +178,101 @@ class TestFusedLayerNorm:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want), rtol=5e-2, atol=5e-2
         )
+
+
+class TestFusedHead:
+    """fused_head (LN + KxK small-cout conv, one pass) vs the XLA path."""
+
+    @staticmethod
+    def reference(x, g, b, w, bias, eps=1e-5):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+        ln = ((x32 - mean) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+        p = w.shape[0] // 2
+        y = jax.lax.conv_general_dilated(
+            ln, w.astype(x.dtype), (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+    @pytest.mark.parametrize("k,cin,cout,h,w", [(7, 16, 3, 16, 24), (3, 8, 4, 8, 16)])
+    def test_matches_xla(self, k, cin, cout, h, w):
+        from cdc_compression_tpu.ops.pallas_kernels import fused_head
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, h, w, cin), jnp.float32)
+        wk = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.rand(cin) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(cin) * 0.1, jnp.float32)
+        want = self.reference(x, g, b, wk, bias)
+        got = fused_head(x, g, b, wk, bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_bf16_batch2(self):
+        from cdc_compression_tpu.ops.pallas_kernels import fused_head
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 16, 16, 8), jnp.bfloat16)
+        wk = jnp.asarray(rng.randn(7, 7, 8, 3) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.randn(3) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+        want = self.reference(x, g, b, wk.astype(jnp.bfloat16), bias)
+        got = fused_head(x, g, b, wk, bias, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=5e-2, atol=5e-2
+        )
+
+    def test_unet_head_param_tree_unchanged(self):
+        """Tracing the unet with the fused head active must produce the
+        identical param tree (checkpoint compatibility)."""
+        from cdc_compression_tpu.models.unet import Unet
+        from cdc_compression_tpu.ops import pallas_kernels
+
+        model = Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(), channels=3,
+                     context_channels=0)
+        x = jnp.zeros((1, 8, 8, 3))
+        t = jnp.zeros((1, 1))
+        base = jax.tree.structure(model.init(jax.random.PRNGKey(0), x, t))
+        orig_act = pallas_kernels.fused_head_active
+        orig_fh = pallas_kernels.fused_head
+        pallas_kernels.fused_head_active = lambda: True
+        pallas_kernels.fused_head = lambda *a, **kw: orig_fh(*a, **kw, interpret=True)
+        try:
+            fused = jax.tree.structure(
+                model.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16),
+                           t.astype(jnp.bfloat16))
+            )
+        finally:
+            pallas_kernels.fused_head_active = orig_act
+            pallas_kernels.fused_head = orig_fh
+        assert fused == base
+
+    def test_unet_fused_head_matches_model(self):
+        """Full unet forward with the fused head (interpret) vs XLA path."""
+        from cdc_compression_tpu.models.unet import Unet
+        from cdc_compression_tpu.ops import pallas_kernels
+
+        model = Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,), channels=3,
+                     context_channels=2)
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 8, 8, 3), jnp.bfloat16)
+        t = jnp.asarray(rng.rand(1, 1), jnp.bfloat16)
+        ctx = [jnp.asarray(rng.randn(1, 8, 8, 2), jnp.bfloat16)]
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        want = model.apply(params, x, t, ctx)
+        orig_act = pallas_kernels.fused_head_active
+        orig_fh = pallas_kernels.fused_head
+        pallas_kernels.fused_head_active = lambda: True
+        pallas_kernels.fused_head = lambda *a, **kw: orig_fh(*a, **kw, interpret=True)
+        try:
+            got = model.apply(params, x, t, ctx)
+        finally:
+            pallas_kernels.fused_head_active = orig_act
+            pallas_kernels.fused_head = orig_fh
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
