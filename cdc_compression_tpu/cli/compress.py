@@ -24,6 +24,9 @@ def build_parser():
                    help=".npz params (or torch .pt reference checkpoint to convert); "
                         "random init if absent (smoke runs)")
     p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
+    p.add_argument("--dim", type=int, default=64,
+                   help="U-Net base width (64 = the shipped models; small "
+                        "values for smoke runs)")
     p.add_argument("--gamma", type=float, default=0.8)
     p.add_argument("--n_denoise_step", type=int, default=17)
     p.add_argument("--img_dir", default="./imgs")
@@ -71,9 +74,9 @@ def main(argv=None):
     from ..utils.presets import epsilon_family, x_family
 
     if args.family == "epsilon":
-        engine = epsilon_family(lagrangian=args.beta, aux_loss_weight=0.0)
+        engine = epsilon_family(dim=args.dim, lagrangian=args.beta, aux_loss_weight=0.0)
     else:
-        engine = x_family(lagrangian=args.beta, aux_loss_weight=0.0)
+        engine = x_family(dim=args.dim, lagrangian=args.beta, aux_loss_weight=0.0)
 
     params = load_params(args, engine)
     codec = ImageCodec(engine, params)

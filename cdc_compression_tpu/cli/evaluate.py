@@ -19,6 +19,7 @@ import pathlib
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", choices=["epsilon", "x"], default="x")
+    p.add_argument("--dim", type=int, default=64)
     p.add_argument("--ckpts", nargs="+", required=True,
                    help="label=path pairs, one per rate point")
     p.add_argument("--img_dir", required=True)
@@ -58,7 +59,7 @@ def main(argv=None):
     for pair in args.ckpts:
         label, _, path = pair.partition("=")
         fam = epsilon_family if args.family == "epsilon" else x_family
-        engine = fam(aux_loss_weight=0.0)
+        engine = fam(dim=args.dim, aux_loss_weight=0.0)
 
         class A:  # adapt to load_params signature
             ckpt = path

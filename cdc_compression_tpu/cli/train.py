@@ -157,6 +157,13 @@ def main(argv=None):
         from ..parallel import make_mesh
 
         data_axis = args.data_axis or (len(jax.devices()) // args.tile_axis)
+        # the per-host batch is sharded over `data`; clamp to the largest
+        # divisor so small smoke batches still run on many-device hosts
+        while args.batch_size % data_axis:
+            data_axis -= 1
+        if data_axis * args.tile_axis < len(jax.devices()):
+            print(f"WARNING: batch_size={args.batch_size} not divisible by "
+                  f"the full device count; using a {data_axis}x{args.tile_axis} mesh")
         mesh = make_mesh(data=data_axis, tile=args.tile_axis)
 
     cfg = TrainConfig(

@@ -1,0 +1,121 @@
+"""End-to-end CLI smoke tests (CPU, tiny dims).
+
+The reference ships demo scripts, not tests (SURVEY §4); here every CLI
+entry point is exercised through its real `main(argv)` path: compress
+(real bitstream round-trip), evaluate (RD sweep json), train (2 steps +
+checkpoint write), convert (torch ckpt -> npz -> compress --ckpt).
+"""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(d / "a.png")
+    # non-multiple-of-64 size exercises PadToMultiple + crop-back
+    Image.fromarray(rng.randint(0, 255, (72, 80, 3), np.uint8)).save(d / "b.png")
+    (d / "ignore.txt").write_text("not an image")
+    return d
+
+
+class TestCompressCLI:
+    def test_roundtrip_with_bitstreams(self, img_dir, tmp_path, capsys):
+        from cdc_compression_tpu.cli.compress import main
+
+        out = tmp_path / "out"
+        main([
+            "--img_dir", str(img_dir), "--out_dir", str(out),
+            "--dim", "16", "--n_denoise_step", "2", "--save_bitstreams",
+        ])
+        got = capsys.readouterr().out
+        for name in ("a", "b"):
+            assert (out / f"{name}.png").exists()
+            assert (out / f"{name}.cdc").exists()
+            assert (out / f"{name}.cdc").stat().st_size > 0
+            assert f"{name}.png: bpp=" in got
+        # decoded image keeps the original (pre-pad) size
+        assert Image.open(out / "b.png").size == (80, 72)
+
+
+class TestEvaluateCLI:
+    def test_rd_sweep_json(self, img_dir, tmp_path):
+        import jax
+
+        from cdc_compression_tpu.cli.evaluate import main
+        from cdc_compression_tpu.utils.presets import init_params, x_family
+
+        engine = x_family(dim=16, aux_loss_weight=0.0)
+        params = init_params(engine, 0, (64, 64))
+        ckpt = tmp_path / "p.npz"
+        np.savez(ckpt, params=np.asarray(
+            jax.tree.map(np.asarray, params), dtype=object))
+        out = tmp_path / "rd.json"
+        main([
+            "--family", "x", "--dim", "16", "--ckpts", f"q1={ckpt}",
+            "--img_dir", str(img_dir), "--n_denoise_step", "2",
+            "--out", str(out),
+        ])
+        results = json.loads(out.read_text())
+        assert len(results) == 1 and results[0]["label"] == "q1"
+        mean = results[0]["mean"]
+        assert mean["bpp"] > 0 and np.isfinite(mean["psnr"])
+        assert set(results[0]["images"]) == {"a.png", "b.png"}
+
+
+class TestTrainCLI:
+    def test_two_steps_and_checkpoint(self, img_dir, tmp_path):
+        from cdc_compression_tpu.cli.train import main
+
+        results = tmp_path / "results"
+        main([
+            "--family", "epsilon", "--embed_dim", "16", "--alpha", "0",
+            "--data_path", str(img_dir), "--dataset", "img",
+            "--img_size", "64", "--batch_size", "2", "--n_step", "2",
+            "--save_every", "1000", "--n_workers", "0",
+            "--results_dir", str(results),
+        ])
+        ckpts = list(results.rglob("*"))
+        assert any(p.is_file() for p in ckpts), f"no checkpoint written: {ckpts}"
+
+
+class TestConvertCLI:
+    @pytest.mark.golden
+    def test_convert_then_compress(self, reference_modules, img_dir, tmp_path):
+        """Build a reference-shaped ε checkpoint, convert it via the CLI,
+        and decode with it through cli.compress --ckpt."""
+        ref = reference_modules
+        torch = ref.torch
+        torch.manual_seed(0)
+        unet = ref.unet.Unet(dim=16, channels=3, context_channels=3,
+                             dim_mults=(1, 2, 3, 4, 5, 6),
+                             context_dim_mults=(1, 2, 3, 4))
+        comp = ref.cm.BigCompressor(dim=16, dim_mults=(1, 2, 3, 4),
+                                    hyper_dims_mults=(4, 4, 4), channels=3,
+                                    out_channels=3, vbr=False)
+        sd = {}
+        for k, v in unet.state_dict().items():
+            sd[f"denoise_fn.{k}"] = v
+        for k, v in comp.state_dict().items():
+            sd[f"context_fn.{k}"] = v
+        pt = tmp_path / "ref.pt"
+        torch.save({"step": 7, "model": sd}, pt)
+
+        from cdc_compression_tpu.cli.compress import main as compress_main
+        from cdc_compression_tpu.cli.convert import main as convert_main
+
+        npz = tmp_path / "conv.npz"
+        convert_main(["--ckpt", str(pt), "--out", str(npz)])
+        out = tmp_path / "out"
+        compress_main([
+            "--ckpt", str(npz), "--img_dir", str(img_dir),
+            "--out_dir", str(out), "--dim", "16", "--n_denoise_step", "2",
+        ])
+        assert (out / "a.png").exists()
