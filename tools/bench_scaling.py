@@ -47,10 +47,8 @@ def mode_batch(steps: int, sizes) -> None:
     import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    from cdc_compression_tpu.ops import pallas_kernels
     from cdc_compression_tpu.utils.presets import epsilon_family, init_params
 
-    pallas_kernels.enable_fused_head(True)
     H, W = 512, 768
     engine = epsilon_family(aux_loss_weight=0.0)
     params = init_params(engine, 0, image_hw=(H, W))
