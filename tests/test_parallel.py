@@ -105,3 +105,14 @@ class TestTileParallel:
             p2, s2, loss, metrics = tstep(params, opt_state, batch, rng)
         assert float(loss) == pytest.approx(want, rel=1e-4)
         assert np.isfinite(float(loss))
+
+
+class TestDistributedSetup:
+    def test_single_process_topology(self):
+        from cdc_compression_tpu.parallel.distributed import setup_distributed
+
+        info = setup_distributed()
+        assert info["process_index"] == 0
+        assert info["process_count"] == 1
+        assert info["global_devices"] == len(__import__("jax").devices())
+        assert info["local_devices"] >= 1
