@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import pallas_kernels
+from ..ops import folding, pallas_kernels
 from ..ops.bounds import lower_bound
 
 # ---------------------------------------------------------------------------
@@ -48,12 +48,15 @@ class Conv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, *, params_only: bool = False):
+    def __call__(self, x, *, params_only: bool = False, folded: bool = False):
         k = self.kernel_size
-        kernel = self.param("kernel", _torch_conv_init, (k, k, x.shape[-1], self.features))
+        # folded=True: x is the width-folded (B, H, W/2, 2*cin) view of a
+        # (B, H, W, cin) map (ops.folding); params keep unfolded shapes
+        cin = x.shape[-1] // 2 if folded else x.shape[-1]
+        kernel = self.param("kernel", _torch_conv_init, (k, k, cin, self.features))
         bias = None
         if self.use_bias:
-            bound = 1.0 / math.sqrt(k * k * x.shape[-1])
+            bound = 1.0 / math.sqrt(k * k * cin)
             bias = self.param(
                 "bias",
                 lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
@@ -63,6 +66,8 @@ class Conv2d(nn.Module):
             # expose (kernel, bias) for a fused Pallas caller; x is
             # shape-only here (sets fan-in), nothing is computed
             return kernel, bias
+        if folded:
+            return self._folded_conv(x, kernel, bias)
         if (
             self.stride == 1
             and k >= 3
@@ -124,6 +129,47 @@ class Conv2d(nn.Module):
             y = y + bias.astype(y.dtype)
         return y
 
+    def _folded_conv(self, x, kernel, bias):
+        """Conv on a width-folded (B, H, W/2, 2*cin) input — exact
+        (ops.folding docstring). Stride 1 emits folded output; the 3x3
+        stride-2 downsample emits the next level's unfolded map."""
+        k, p = self.kernel_size, self.padding
+        if k == 1 and self.stride == 1:
+            # per-pixel contraction: one flat GEMM against a 2-block
+            # block-diagonal weight — dense 128 lanes, same FLOPs
+            n, h, w2, cin2 = x.shape
+            wf = folding.blockdiag2(kernel.reshape(cin2 // 2, self.features)).astype(x.dtype)
+            y = (x.reshape(-1, cin2) @ wf).reshape(n, h, w2, 2 * self.features)
+            if bias is not None:
+                y = y + folding.tile2(bias).astype(y.dtype)
+            return y
+        if self.stride == 1:
+            kf, (pl_, pr) = folding.fold_conv_kernel(kernel, p)
+            y = jax.lax.conv_general_dilated(
+                x,
+                kf.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((p, p), (pl_, pr)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + folding.tile2(bias).astype(y.dtype)
+            return y
+        assert self.stride == 2 and k == 3 and p == 1, (
+            "folded conv supports stride-1 or the 3x3/s2/p1 downsample"
+        )
+        kf = folding.fold_downsample_kernel(kernel)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kf.astype(x.dtype),
+            window_strides=(2, 1),
+            padding=((1, 1), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
 
 class ConvTranspose2d(nn.Module):
     """Transposed conv with torch ConvTranspose2d geometry.
@@ -181,8 +227,10 @@ class Downsample(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
-        return Conv2d(self.features, 3, stride=2, padding=1, name="conv")(x)
+    def __call__(self, x, folded: bool = False):
+        # folded input exits the folded region: output is the next
+        # level's unfolded (and >=128-lane) map — no unfold relayout
+        return Conv2d(self.features, 3, stride=2, padding=1, name="conv")(x, folded=folded)
 
 
 class Upsample(nn.Module):
@@ -209,12 +257,14 @@ class ChannelLayerNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, *, params_only: bool = False):
-        dim = x.shape[-1]
+    def __call__(self, x, *, params_only: bool = False, folded: bool = False):
+        dim = x.shape[-1] // 2 if folded else x.shape[-1]
         g = self.param("g", nn.initializers.ones, (dim,))
         b = self.param("b", nn.initializers.zeros, (dim,))
         if params_only:
             return g, b
+        if folded:
+            return folding.folded_layer_norm(x, g, b, eps=self.eps)
         # NOTE(perf): the tempting single-pass E[x^2]-E[x]^2 variant was
         # profiled SLOWER on v5e (XLA materializes the square and runs two
         # reduce passes: 23.5 vs 21.6 ms/fwd) — keep the two-pass form.
@@ -245,10 +295,19 @@ class Block(nn.Module):
     large: bool = False
 
     @nn.compact
-    def __call__(self, x, in_bias=None, residual=None):
+    def __call__(self, x, in_bias=None, residual=None, folded: bool = False):
         k, p = (7, 3) if self.large else (3, 1)
         conv = Conv2d(self.features, k, padding=p, name="conv")
         norm = ChannelLayerNorm(name="norm")
+        if folded:
+            if in_bias is not None:
+                x = x + folding.tile2(in_bias)[:, None, None, :].astype(x.dtype)
+            x = conv(x, folded=True)
+            x = norm(x, folded=True)
+            x = nn.relu(x)
+            if residual is not None:
+                x = x + residual.astype(x.dtype)
+            return x
         if pallas_kernels.fused_blocks_active():
             # XLA keeps the conv (its conv kernels beat a hand-rolled
             # halo pipeline — measured); the LN+ReLU+skip epilogue runs
@@ -277,8 +336,9 @@ class ResnetBlock(nn.Module):
     large: bool = False
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
-        h = Block(self.features, large=self.large, name="block1")(x)
+    def __call__(self, x, time_emb=None, folded: bool = False):
+        cin = x.shape[-1] // 2 if folded else x.shape[-1]
+        h = Block(self.features, large=self.large, name="block1")(x, folded=folded)
         t = None
         if time_emb is not None:
             assert self.time_emb_dim is not None
@@ -289,10 +349,10 @@ class ResnetBlock(nn.Module):
                 bias_init=_dense_torch_bias_init,
             )(nn.leaky_relu(time_emb, 0.2))
         skip = x
-        if x.shape[-1] != self.features:
-            skip = Conv2d(self.features, 1, name="res_conv")(x)
+        if cin != self.features:
+            skip = Conv2d(self.features, 1, name="res_conv")(x, folded=folded)
         # time bias + skip ride along block2 (one fused kernel on TPU)
-        return Block(self.features, name="block2")(h, in_bias=t, residual=skip)
+        return Block(self.features, name="block2")(h, in_bias=t, residual=skip, folded=folded)
 
 
 def _dense_torch_init(key, shape, dtype=jnp.float32):
@@ -320,13 +380,18 @@ class LinearAttention(nn.Module):
     dim_head: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded: bool = False):
         b, h, w, c = x.shape
+        if folded:
+            c = c // 2
         dh = self.dim_head if self.dim_head is not None else c
         hidden = dh * self.heads
         scale = dh ** -0.5
         to_qkv = Conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")
         to_out = Conv2d(c, 1, name="to_out")
+        if folded:
+            assert self.heads == 1 and dh == c, "folded attention: 1 head, dh == c"
+            return self._folded_attention(x, to_qkv, to_out, c, scale)
         if x.dtype == jnp.bfloat16 and self.heads == 1 and dh == c:
             # decode fast path: flat GEMMs (the 1x1-conv form makes XLA
             # relayout the qkv tensor at 768x512 — ~0.6 ms/step of pure
@@ -362,6 +427,41 @@ class LinearAttention(nn.Module):
         out = out.reshape(b, h, w, hidden)
         return to_out(out)
 
+    def _folded_attention(self, x, to_qkv, to_out, c, scale):
+        """Linear attention on a width-folded (B, H, W/2, 2c) map, exact.
+
+        Projections run against 2-block block-diagonal weights (dense
+        128 lanes); the KV summary of the folded stream is a (2c, 2c)
+        matrix whose two diagonal c x c blocks sum to the exact unfolded
+        summary ``sum_n softmax(k)_d[n] v_e[n]`` (the two halves are just
+        the even/odd pixel sub-streams). The softmax-over-keys max and
+        normalizer combine across halves the same way. The final
+        contraction folds ``ctx @ W_out`` into one block-diagonal GEMM.
+        """
+        b, h, w2, c2 = x.shape
+        wq, _ = to_qkv(x, params_only=True, folded=True)
+        wo, bo = to_out(x, params_only=True, folded=True)
+        wq = wq.reshape(c, 3 * c)
+        blocks = [folding.blockdiag2(wq[:, i * c : (i + 1) * c]) for i in range(3)]
+        wq_f = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # (2c, 6c)
+        xf = x.reshape(b, h * w2, c2)
+        qkv = xf @ wq_f
+        q = qkv[..., : 2 * c] * scale
+        k32 = qkv[..., 2 * c : 4 * c].astype(jnp.float32)
+        v = qkv[..., 4 * c :]
+        kmax = jnp.max(k32, axis=1, keepdims=True)  # (b, 1, 2c)
+        kmax = folding.tile2(jnp.maximum(kmax[..., :c], kmax[..., c:]))
+        kexp = jnp.exp(k32 - kmax)
+        z = jnp.sum(kexp, axis=1, keepdims=True)
+        z = folding.tile2(z[..., :c] + z[..., c:])
+        kn = (kexp / z).astype(x.dtype)
+        big = jnp.einsum("bnd,bne->bde", kn, v)  # (b, 2c, 2c)
+        ctx = big[:, :c, :c] + big[:, c:, c:]  # exact unfolded KV summary
+        m = jnp.einsum("bde,ef->bdf", ctx, wo.reshape(c, c).astype(x.dtype))
+        m_f = jax.vmap(folding.blockdiag2)(m)  # (b, 2c, 2c)
+        out = jnp.einsum("bnd,bdf->bnf", q, m_f) + folding.tile2(bo).astype(x.dtype)
+        return out.reshape(b, h, w2, c2)
+
 
 class PreNormLinearAttention(nn.Module):
     """Residual(PreNorm(LinearAttention)) fused wrapper (unet.py usage)."""
@@ -369,9 +469,9 @@ class PreNormLinearAttention(nn.Module):
     heads: int = 1
 
     @nn.compact
-    def __call__(self, x):
-        y = ChannelLayerNorm(name="norm")(x)
-        y = LinearAttention(heads=self.heads, name="attn")(y)
+    def __call__(self, x, folded: bool = False):
+        y = ChannelLayerNorm(name="norm")(x, folded=folded)
+        y = LinearAttention(heads=self.heads, name="attn")(y, folded=folded)
         return x + y
 
 

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import pallas_kernels
+from ..ops import folding, pallas_kernels
 from .layers import (
     Block,
     ChannelLayerNorm,
@@ -66,20 +66,38 @@ class Unet(nn.Module):
         # consume at most len(context_dim_mults) pyramid levels — the
         # reference's implicit contract between compressor and U-Net
         n_ctx = min(len(context), len(self.context_dim_mults))
+        # width-folded level 0 (bf16 path): all full-resolution tensors
+        # run as (H, W/2, 2C) so the 64-channel maps fill all 128 lanes —
+        # exact, measured faster on TPU (ops/folding.py). The region is
+        # self-contained: the stride-2 downsample consumes folded input
+        # and emits the (unfolded, >=128-channel) level-1 map.
+        fold0 = (
+            folding.fold_l0_active()
+            and x.dtype == jnp.bfloat16
+            and x.shape[2] % 2 == 0
+            and num_resolutions > 1
+        )
         h = []
         for ind in range(num_resolutions):
             is_last = ind >= num_resolutions - 1
             dim_out = dims[ind + 1]
+            folded = fold0 and ind == 0
             if ind < n_ctx:
                 x = jnp.concatenate([x, context[ind].astype(x.dtype)], axis=-1)
+            if folded:
+                x = folding.fold2(x)
             x = ResnetBlock(
                 dim_out, time_emb_dim=time_dim, large=(ind == 0), name=f"down_{ind}_res1"
-            )(x, t)
-            x = ResnetBlock(dim_out, time_emb_dim=time_dim, name=f"down_{ind}_res2")(x, t)
-            x = PreNormLinearAttention(name=f"down_{ind}_attn")(x)
-            h.append(x)
+            )(x, t, folded=folded)
+            x = ResnetBlock(dim_out, time_emb_dim=time_dim, name=f"down_{ind}_res2")(
+                x, t, folded=folded
+            )
+            x = PreNormLinearAttention(name=f"down_{ind}_attn")(x, folded=folded)
+            # h[0] is structurally dead (the up path pops one level less
+            # than the down path appends), so this unfold is DCE'd
+            h.append(folding.unfold2(x) if folded else x)
             if not is_last:
-                x = Downsample(dim_out, name=f"down_{ind}_downsample")(x)
+                x = Downsample(dim_out, name=f"down_{ind}_downsample")(x, folded=folded)
 
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, time_emb_dim=time_dim, name="mid_block1")(x, t)

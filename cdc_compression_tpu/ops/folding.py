@@ -1,0 +1,170 @@
+"""Width-folded (W/2, 2C) layout for the U-Net's full-resolution stage.
+
+Why: on TPU the last (lane) axis of a tensor is padded to 128. The
+flagship U-Net's level-0 feature maps are 64-channel — every elementwise
+op, LayerNorm and conv at 768x512 therefore touches 2x the HBM bytes it
+needs, and the MXU runs the level-0 convs at half lane utilization (the
+measured "64-channel penalty": ~66 TFLOP/s vs ~194 at 128 channels —
+PERF.md). The reference never hits this because cuDNN/NCHW has no lane
+tiling (it's a CUDA artifact-free axis); the TPU-native fix is a layout
+change, not a kernel.
+
+The fold packs two horizontally adjacent pixels into the channel axis:
+
+    (B, H, W, C)  ->  (B, H, W/2, 2C)      row-major reshape
+
+and rewrites every level-0 op to act on folded tensors *exactly*:
+
+* k x k stride-1 convs become convs with a widened, block-structured
+  kernel over folded columns (`fold_conv_kernel`) — 2x the issued MXU
+  FLOPs (half the folded kernel is structural zeros) but full 128-lane
+  utilization and half the HBM bytes: measured net win on v5e.
+* the stride-2 downsample consumes folded input directly and emits the
+  (already 128-channel, unfolded) next level (`fold_downsample_kernel`)
+  — so the folded region needs NO unfold relayout at its exit.
+* 1x1 convs contract per-pixel: run them as one flat GEMM against a
+  2-block block-diagonal weight (`blockdiag2`) — same FLOPs, dense lanes.
+* channelwise LayerNorm becomes per-half statistics computed with a
+  +/- sign trick so all four accumulators (sum, signed sum, sum of
+  squares, signed sum of squares) ride ONE pass over 128-lane data
+  (`folded_layer_norm`); no (…, 2, C) reshape, which would relayout.
+* linear attention's KV summary is computed on folded q/k/v against
+  block-diagonal projections; the (2C, 2C) summary's two diagonal C x C
+  blocks sum to the exact unfolded summary (see layers.LinearAttention).
+
+Everything here is differentiable (gathers/scatters of the small kernel
+tensors), so the folded path works under jax.grad too; it is enabled on
+the bf16 compute path only, because folding changes fp32 summation
+order (fp32 golden parity against the PyTorch reference stays on the
+direct lowering).
+
+Reference behavior being accelerated: the level-0 blocks of
+`epsilonparam/modules/unet.py:49-69` / `network_components.py:83-139`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_FOLD_L0 = True
+
+
+def enable_fold_l0(on: bool) -> None:
+    """Toggle the folded level-0 U-Net path (bf16 decode/train). On by
+    default; off restores the direct NHWC lowering for debugging."""
+    global _FOLD_L0
+    _FOLD_L0 = bool(on)
+
+
+def fold_l0_active() -> bool:
+    return _FOLD_L0
+
+
+def fold2(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W//2, 2C); pairs of adjacent columns pack
+    into the channel axis (row-major reshape, no data movement needed in
+    the unpadded logical layout)."""
+    b, h, w, c = x.shape
+    assert w % 2 == 0, f"fold2 needs even W, got {w}"
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unfold2(x: jax.Array) -> jax.Array:
+    """Inverse of fold2."""
+    b, h, w2, c2 = x.shape
+    assert c2 % 2 == 0
+    return x.reshape(b, h, w2 * 2, c2 // 2)
+
+
+def fold_conv_kernel(kernel: jax.Array, padding: int):
+    """Fold an HWIO stride-1 conv kernel along W by 2.
+
+    For y[w] = sum_j x[w - p + j] K[:, j] and w = 2*wc + po, the source
+    column 2*wc + po - p + j lands in folded column wc + df, half pi,
+    with df = floor((po - p + j)/2), pi = (po - p + j) mod 2. Returns
+    (folded_kernel (kh, kwf, 2ci, 2co), (pad_left, pad_right)) such that
+
+        conv(fold2(x), folded_kernel, stride 1, pad) == fold2(conv(x, kernel, pad=p))
+
+    exactly (the extra kernel entries are structural zeros).
+    """
+    kh, kw, ci, co = kernel.shape
+    p = padding
+    df_min = -((p + 1) // 2)  # floor(-p / 2)
+    df_max = (kw - p) // 2
+    kwf = df_max - df_min + 1
+    kf = jnp.zeros((kh, kwf, 2 * ci, 2 * co), kernel.dtype)
+    for po in (0, 1):
+        for j in range(kw):
+            s = po - p + j
+            df, pi = s // 2, s % 2  # python floor-div/mod: correct for s < 0
+            kf = kf.at[
+                :, df - df_min, pi * ci : (pi + 1) * ci, po * co : (po + 1) * co
+            ].set(kernel[:, j])
+    return kf, (-df_min, df_max)
+
+
+def fold_downsample_kernel(kernel: jax.Array):
+    """Fold a 3x3 stride-2 pad-1 conv kernel to consume folded input and
+    emit *unfolded* output (the natural exit of the folded region: the
+    next U-Net level has >= 128 channels).
+
+    y[wo] = sum_j x[2*wo - 1 + j] K[:, j]; source folded column
+    wo + floor((j-1)/2), half (j-1) mod 2 -> folded taps {wo-1, wo}:
+    kernel (kh, 2, 2ci, co), window stride (2, 1), W padding (1, 0).
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kw == 3, "folded downsample supports the reference's 3x3 stride-2 conv"
+    kf = jnp.zeros((kh, 2, 2 * ci, co), kernel.dtype)
+    for j in range(3):
+        s = j - 1
+        df, pi = s // 2, s % 2
+        kf = kf.at[:, df + 1, pi * ci : (pi + 1) * ci, :].set(kernel[:, j])
+    return kf
+
+
+def blockdiag2(w: jax.Array) -> jax.Array:
+    """(a, b) -> (2a, 2b) block-diagonal [[w, 0], [0, w]]: the folded form
+    of any per-pixel (1x1 conv / dense) contraction."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)], axis=0
+    )
+
+
+def tile2(v: jax.Array) -> jax.Array:
+    """Per-channel vector (…, C) -> (…, 2C) for folded tensors."""
+    return jnp.concatenate([v, v], axis=-1)
+
+
+def folded_layer_norm(x, g, b, eps: float = 1e-5):
+    """Channelwise LayerNorm of the *unfolded* C channels, computed on
+    folded (…, 2C) data without leaving the 128-lane layout.
+
+    Per-half sums come from (full sum, signed sum) pairs — four
+    accumulators over one read of x (XLA multi-output reduce fusion),
+    variance via E[x^2] - m^2 (exact-enough: the reduction is only over
+    C lanes and the squares of bf16 inputs are exact in fp32). g/b are
+    the unfolded (C,) affine parameters.
+    """
+    c2 = x.shape[-1]
+    c = c2 // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1,) * (x.ndim - 1) + (c2,), x.ndim - 1)
+    is_lo = lane < c
+    if x.dtype == jnp.bfloat16:
+        # same producer-epilogue barrier as ChannelLayerNorm: stop XLA
+        # from hoisting the fp32 upcast into the conv that made x
+        x = jax.lax.optimization_barrier(x)
+    x32 = x.astype(jnp.float32)
+    sgn = jnp.where(is_lo, 1.0, -1.0)
+    s1 = jnp.sum(x32, -1, keepdims=True)
+    d1 = jnp.sum(x32 * sgn, -1, keepdims=True)
+    sq = jnp.square(x32)
+    s2 = jnp.sum(sq, -1, keepdims=True)
+    d2 = jnp.sum(sq * sgn, -1, keepdims=True)
+    m = jnp.where(is_lo, s1 + d1, s1 - d1) / (2 * c)
+    ex2 = jnp.where(is_lo, s2 + d2, s2 - d2) / (2 * c)
+    var = jnp.maximum(ex2 - jnp.square(m), 0.0)
+    y = (x32 - m) * jax.lax.rsqrt(var + eps)
+    return (y * tile2(g) + tile2(b)).astype(x.dtype)

@@ -1,0 +1,163 @@
+"""Width-folded level-0 path (ops/folding.py): exactness vs the direct
+NHWC lowering, on CPU in fp32 (tight tolerances) and bf16 (loose)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdc_compression_tpu.ops import folding
+
+
+def _conv(x, k, stride=1, pad=1):
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class TestKernelFolding:
+    @pytest.mark.parametrize("k,p,cin,cout", [(3, 1, 8, 8), (7, 3, 6, 16), (3, 1, 5, 4), (5, 2, 8, 8)])
+    def test_stride1_exact(self, k, p, cin, cout):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 12, cin), jnp.float32)
+        kern = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+        want = folding.fold2(_conv(x, kern, pad=p))
+        kf, (pl_, pr) = folding.fold_conv_kernel(kern, p)
+        got = jax.lax.conv_general_dilated(
+            folding.fold2(x), kf, (1, 1), ((p, p), (pl_, pr)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-5)
+
+    def test_downsample_exact(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 8, 12, 8), jnp.float32)
+        kern = jnp.asarray(rng.randn(3, 3, 8, 16) * 0.1, jnp.float32)
+        want = _conv(x, kern, stride=2, pad=1)
+        kf = folding.fold_downsample_kernel(kern)
+        got = jax.lax.conv_general_dilated(
+            folding.fold2(x), kf, (2, 1), ((1, 1), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-5)
+
+    def test_fold_unfold_roundtrip(self):
+        x = jnp.arange(2 * 4 * 6 * 3, dtype=jnp.float32).reshape(2, 4, 6, 3)
+        np.testing.assert_array_equal(np.asarray(folding.unfold2(folding.fold2(x))), np.asarray(x))
+        # folded pairs pack adjacent columns
+        f = folding.fold2(x)
+        np.testing.assert_array_equal(np.asarray(f[0, 0, 0, :3]), np.asarray(x[0, 0, 0]))
+        np.testing.assert_array_equal(np.asarray(f[0, 0, 0, 3:]), np.asarray(x[0, 0, 1]))
+
+
+class TestFoldedLayerNorm:
+    def test_matches_channel_layer_norm(self):
+        from cdc_compression_tpu.models.layers import ChannelLayerNorm
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 6, 8, 16) * 3 + 1.5, jnp.float32)
+        mod = ChannelLayerNorm()
+        params = mod.init(jax.random.PRNGKey(0), x)
+        # non-trivial affine
+        params = {"params": {"g": jnp.asarray(rng.rand(16), jnp.float32),
+                             "b": jnp.asarray(rng.randn(16), jnp.float32)}}
+        want = folding.fold2(mod.apply(params, x))
+        got = mod.apply(params, folding.fold2(x), folded=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+class TestFoldedModules:
+    def test_resnet_block(self):
+        from cdc_compression_tpu.models.layers import ResnetBlock
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+        t = jnp.asarray(rng.randn(2, 32), jnp.float32)
+        mod = ResnetBlock(16, time_emb_dim=32, large=True)
+        params = mod.init(jax.random.PRNGKey(0), x, t)
+        want = folding.fold2(mod.apply(params, x, t))
+        got = mod.apply(params, folding.fold2(x), t, folded=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-4)
+
+    def test_pre_norm_linear_attention(self):
+        from cdc_compression_tpu.models.layers import PreNormLinearAttention
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.float32)
+        mod = PreNormLinearAttention()
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = folding.fold2(mod.apply(params, x))
+        got = mod.apply(params, folding.fold2(x), folded=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-4)
+
+    def test_downsample_module(self):
+        from cdc_compression_tpu.models.layers import Downsample
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(1, 8, 12, 8), jnp.float32)
+        mod = Downsample(16)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(params, x)
+        got = mod.apply(params, folding.fold2(x), folded=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+class TestFoldedUnet:
+    def _setup(self):
+        from cdc_compression_tpu.models.unet import Unet
+
+        unet = Unet(dim=8, dim_mults=(1, 2, 3), context_dim_mults=(1, 2),
+                    channels=3, context_channels=3)
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(1, 16, 24, 3), jnp.float32)
+        t = jnp.asarray(rng.rand(1, 1), jnp.float32)
+        ctx = [jnp.asarray(rng.randn(1, 16, 24, 3), jnp.float32),
+               jnp.asarray(rng.randn(1, 8, 12, 8), jnp.float32)]
+        params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+        return unet, params, x, t, ctx
+
+    def test_bf16_folded_close_to_unfolded(self):
+        unet, params, x, t, ctx = self._setup()
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        args16 = (x.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+                  [c.astype(jnp.bfloat16) for c in ctx])
+        folding.enable_fold_l0(True)
+        try:
+            y_fold = unet.apply(p16, *args16)
+        finally:
+            folding.enable_fold_l0(False)
+        y_ref = unet.apply(p16, *args16)
+        folding.enable_fold_l0(True)
+        d = np.abs(np.asarray(y_fold, np.float32) - np.asarray(y_ref, np.float32)).max()
+        scale = np.abs(np.asarray(y_ref, np.float32)).max()
+        assert d < 0.05 * max(1.0, scale), (d, scale)
+
+    def test_fp32_path_not_folded(self):
+        """fp32 keeps the direct lowering (golden parity)."""
+        unet, params, x, t, ctx = self._setup()
+        assert folding.fold_l0_active()
+        y1 = unet.apply(params, x, t, ctx)
+        folding.enable_fold_l0(False)
+        try:
+            y2 = unet.apply(params, x, t, ctx)
+        finally:
+            folding.enable_fold_l0(True)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_folded_grads_flow(self):
+        unet, params, x, t, ctx = self._setup()
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+        def loss(p):
+            y = unet.apply(p, x.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+                           [c.astype(jnp.bfloat16) for c in ctx])
+            return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+        assert folding.fold_l0_active()
+        g = jax.grad(loss)(p16)
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all()) for a in leaves)
+        # the level-0 conv grads are nonzero through the kernel-fold scatter
+        g0 = g["params"]["down_0_res1"]["block1"]["conv"]["kernel"]
+        assert float(jnp.abs(g0.astype(jnp.float32)).max()) > 0
