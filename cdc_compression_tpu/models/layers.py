@@ -145,6 +145,29 @@ class Conv2d(nn.Module):
             return y
         if self.stride == 1:
             kf, (pl_, pr) = folding.fold_conv_kernel(kernel, p)
+            if self.features <= 16 and k >= 3:
+                # folded analog of _shift_add_conv: the U-Net's 7x7 -> 3ch
+                # head as one fat lane-dense GEMM + shift-add; the fat
+                # intermediate has k*kwf*2m channels over W/2 columns —
+                # ~30% fewer bytes than the unfolded 49m-over-W form
+                n, h, w2, cin2 = x.shape
+                kwf = kf.shape[1]
+                m2 = 2 * self.features
+                wmat = kf.transpose(2, 0, 1, 3).reshape(cin2, k * kwf * m2)
+                xp = jnp.pad(x, ((0, 0), (p, p), (pl_, pr), (0, 0)))
+                hp, wp = h + 2 * p, w2 + pl_ + pr
+                z = (xp.reshape(-1, cin2) @ wmat.astype(x.dtype)).reshape(
+                    n, hp, wp, k * kwf * m2
+                )
+                acc = jnp.zeros((n, h, w2, m2), jnp.float32)
+                for a in range(k):
+                    for b in range(kwf):
+                        i = (a * kwf + b) * m2
+                        acc = acc + z[:, a : a + h, b : b + w2, i : i + m2].astype(jnp.float32)
+                y = acc.astype(x.dtype)
+                if bias is not None:
+                    y = y + folding.tile2(bias).astype(y.dtype)
+                return y
             y = jax.lax.conv_general_dilated(
                 x,
                 kf.astype(x.dtype),
@@ -190,7 +213,7 @@ class ConvTranspose2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded_out: bool = False):
         k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
         cin = x.shape[-1]
         # torch convT fan_in = out_channels * k * k (weight shape (in,out,k,k), dim-1 fan)
@@ -200,6 +223,30 @@ class ConvTranspose2d(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
             (k, k, cin, self.features),
         )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+        if folded_out:
+            # emit the width-folded (B, 2H, W, 2*features) map directly:
+            # the W direction of a stride-2 transposed conv folds to a
+            # plain stride-1 conv over input columns (ops.folding)
+            assert s == 2 and (k + op) % 2 == 0, "folded output needs even width"
+            kf, (pl_, pr) = folding.fold_convT_kernel(kernel, p, op)
+            y = jax.lax.conv_general_dilated(
+                x,
+                kf.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((k - 1 - p, k - 1 - p + op), (pl_, pr)),
+                lhs_dilation=(s, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + folding.tile2(bias).astype(y.dtype)
+            return y
         # equivalent forward conv on the dilated input uses the spatially
         # flipped kernel; (kh,kw,in,out) is already HWIO for that conv
         w = jnp.flip(kernel, (0, 1))
@@ -211,12 +258,7 @@ class ConvTranspose2d(nn.Module):
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            bias = self.param(
-                "bias",
-                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
-                (self.features,),
-            )
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
@@ -239,8 +281,10 @@ class Upsample(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
-        return ConvTranspose2d(self.features, 4, stride=2, padding=1, name="conv")(x)
+    def __call__(self, x, folded_out: bool = False):
+        return ConvTranspose2d(self.features, 4, stride=2, padding=1, name="conv")(
+            x, folded_out=folded_out
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -71,12 +71,10 @@ class Unet(nn.Module):
         # exact, measured faster on TPU (ops/folding.py). The region is
         # self-contained: the stride-2 downsample consumes folded input
         # and emits the (unfolded, >=128-channel) level-1 map.
-        fold0 = (
-            folding.fold_l0_active()
-            and x.dtype == jnp.bfloat16
-            and x.shape[2] % 2 == 0
-            and num_resolutions > 1
+        foldable = (
+            x.dtype == jnp.bfloat16 and x.shape[2] % 2 == 0 and num_resolutions > 1
         )
+        fold0 = foldable and folding.fold_l0_active()
         h = []
         for ind in range(num_resolutions):
             is_last = ind >= num_resolutions - 1
@@ -107,15 +105,37 @@ class Unet(nn.Module):
         # up path over reversed(in_out[1:]): level pairs (dim_in, dim_out)
         up_pairs = list(zip(dims[1:-1], dims[2:]))[::-1]
         for ind, (dim_in, dim_out) in enumerate(up_pairs):
+            # the last up level runs dim-wide (64-ch) maps at half
+            # resolution and its Upsample emits the full-resolution map:
+            # fold it like level 0 (same lane-density argument)
+            last_up = ind == len(up_pairs) - 1
+            foldu = foldable and folding.fold_up_active() and last_up
+            fold_tail = foldable and folding.fold_head_active() and last_up
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock(dim_in, time_emb_dim=time_dim, name=f"up_{ind}_res1")(x, t)
-            x = ResnetBlock(dim_in, time_emb_dim=time_dim, name=f"up_{ind}_res2")(x, t)
-            x = PreNormLinearAttention(name=f"up_{ind}_attn")(x)
-            x = Upsample(dim_in, name=f"up_{ind}_upsample")(x)
+            if foldu:
+                x = folding.fold2(x)
+            x = ResnetBlock(dim_in, time_emb_dim=time_dim, name=f"up_{ind}_res1")(
+                x, t, folded=foldu
+            )
+            x = ResnetBlock(dim_in, time_emb_dim=time_dim, name=f"up_{ind}_res2")(
+                x, t, folded=foldu
+            )
+            x = PreNormLinearAttention(name=f"up_{ind}_attn")(x, folded=foldu)
+            if foldu:
+                # the folded-in/folded-out transposed conv would mix the
+                # two fold parities; a cheap unfold here (the map is 4x
+                # smaller than level 0) keeps the convT exact and simple
+                x = folding.unfold2(x)
+            x = Upsample(dim_in, name=f"up_{ind}_upsample")(x, folded_out=fold_tail)
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
         norm = ChannelLayerNorm(name="final_norm")
         conv = Conv2d(out_dim, 7, padding=3, name="final_conv")
+        if foldable and folding.fold_head_active() and up_pairs:
+            # x is width-folded: folded LN + folded shift-add head, then
+            # one small unfold of the out_dim-channel result
+            y = conv(norm(x, folded=True), folded=True)
+            return folding.unfold2(y)
         if pallas_kernels.fused_head_active() and x.dtype == jnp.bfloat16:
             # decode fast path: LN + 7x7 head in one Pallas HBM pass — the
             # fat-GEMM intermediate stays in VMEM (see ops.pallas_kernels)

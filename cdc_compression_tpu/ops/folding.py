@@ -13,15 +13,20 @@ The fold packs two horizontally adjacent pixels into the channel axis:
 
     (B, H, W, C)  ->  (B, H, W/2, 2C)      row-major reshape
 
-and rewrites every level-0 op to act on folded tensors *exactly*:
+and rewrites the affected ops to act on folded tensors *exactly*:
 
 * k x k stride-1 convs become convs with a widened, block-structured
   kernel over folded columns (`fold_conv_kernel`) — 2x the issued MXU
   FLOPs (half the folded kernel is structural zeros) but full 128-lane
-  utilization and half the HBM bytes: measured net win on v5e.
+  utilization and half the HBM bytes. Measured per-op: the level-0 3x3
+  runs 192 vs 66 TFLOP/s (0.31 vs 0.45+0.15 ms incl. windowing copies).
 * the stride-2 downsample consumes folded input directly and emits the
   (already 128-channel, unfolded) next level (`fold_downsample_kernel`)
   — so the folded region needs NO unfold relayout at its exit.
+* the stride-2 transposed conv (Upsample) emits folded output from
+  unfolded input: its W direction folds to a plain stride-1 conv
+  (`fold_convT_kernel`) — 96 vs 47 TFLOP/s measured on the final
+  Upsample.
 * 1x1 convs contract per-pixel: run them as one flat GEMM against a
   2-block block-diagonal weight (`blockdiag2`) — same FLOPs, dense lanes.
 * channelwise LayerNorm becomes per-half statistics computed with a
@@ -38,7 +43,26 @@ the bf16 compute path only, because folding changes fp32 summation
 order (fp32 golden parity against the PyTorch reference stays on the
 direct lowering).
 
-Reference behavior being accelerated: the level-0 blocks of
+MEASURED VERDICT (v5e, 768x512 17-step bf16 decode, device self-time
+from xprof hlo_stats over the scanned loop): only the *tail* fold wins.
+The blocking cost is `folded_layer_norm`: its stats pass cannot fuse
+into the producing conv's epilogue the way the plain 64-channel LN does
+(~0.33 ms vs ~0.05 ms per full-res instance; masked 4-acc, variadic
+reduce, (…,2,C)-reshape, lane-slice, GEMM-stats and three Pallas kernel
+variants all measured ≥ that, and dropping the upcast barrier
+materializes f32 activations: 26.2 ms/step). Config ranking:
+
+    fold head only (default)        15.63 ms/step
+    no folding                      15.95
+    + down level-0 folded           16.38
+    + up stage folded               16.46
+
+Hence defaults: FOLD_HEAD on (tail = final Upsample -> folded LN ->
+folded shift-add 7x7 head, exactly one LN tax against three wins),
+FOLD_L0/FOLD_UP off but fully implemented + exactness-tested, ready to
+flip when the LN-fusion economics change.
+
+Reference behavior being accelerated: the full-resolution blocks of
 `epsilonparam/modules/unet.py:49-69` / `network_components.py:83-139`.
 """
 
@@ -47,18 +71,50 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_FOLD_L0 = True
+_FOLD_L0 = False
+_FOLD_UP = False
+_FOLD_HEAD = True
 
 
 def enable_fold_l0(on: bool) -> None:
-    """Toggle the folded level-0 U-Net path (bf16 decode/train). On by
-    default; off restores the direct NHWC lowering for debugging."""
+    """Toggle the folded down-level-0 U-Net stage (bf16 path).
+
+    Default OFF: measured net-negative on v5e (device self-time
+    16.38 ms/step vs 15.95 unfolded at 768x512/17-step decode) — the
+    folded convs run at MXU peak (192 vs 66 TFLOP/s) but the per-half
+    LayerNorm costs ~0.33 ms/instance vs ~0.05 unfolded (its stats
+    reduce cannot fuse into the conv epilogue), eating the conv wins.
+    Kept available: flips to a win wherever the LN tax shrinks
+    (future XLA, other models/shapes)."""
     global _FOLD_L0
     _FOLD_L0 = bool(on)
 
 
 def fold_l0_active() -> bool:
     return _FOLD_L0
+
+
+def enable_fold_up(on: bool) -> None:
+    """Toggle folding of the last up-stage resblocks/attention (same
+    trade-off as the down stage; default OFF, same reason)."""
+    global _FOLD_UP
+    _FOLD_UP = bool(on)
+
+
+def fold_up_active() -> bool:
+    return _FOLD_UP
+
+
+def enable_fold_head(on: bool) -> None:
+    """Toggle the folded tail: final Upsample emits folded output, the
+    final LayerNorm runs per-half, and the 7x7 head runs as a folded
+    fat-GEMM shift-add (smaller fat intermediate, lane-dense reads)."""
+    global _FOLD_HEAD
+    _FOLD_HEAD = bool(on)
+
+
+def fold_head_active() -> bool:
+    return _FOLD_HEAD
 
 
 def fold2(x: jax.Array) -> jax.Array:
@@ -124,6 +180,39 @@ def fold_downsample_kernel(kernel: jax.Array):
     return kf
 
 
+def fold_convT_kernel(kernel: jax.Array, padding: int, output_padding: int = 0):
+    """Fold a stride-2 transposed-conv kernel to emit *folded* output from
+    *unfolded* input (the ``(in-1)*2 - 2p + k + op`` torch geometry).
+
+    For out[2*wi - p + kk] += x[wi] K[:, kk] and folded output column
+    (jo, po): kk = po + p - 2*(wi - jo), so each folded output column
+    reads input columns jo + d for d in a small window. Returns
+    (folded_kernel (kh, wd, ci, 2co), (pad_left, pad_right)) for a conv
+    with ``lhs_dilation=(2, 1)`` (H stays the usual dilated form, W is a
+    plain stride-1 conv over the input columns), H padding
+    (k-1-p, k-1-p+op) as in the direct lowering. The H axis of the
+    returned kernel is already flipped.
+    """
+    kh, kw, ci, co = kernel.shape
+    p = padding
+    ds = []
+    for po in (0, 1):
+        for kk in range(kw):
+            if (po + p - kk) % 2 == 0:
+                ds.append((po + p - kk) // 2)
+    d_min, d_max = min(ds), max(ds)
+    wd = d_max - d_min + 1
+    kf = jnp.zeros((kh, wd, ci, 2 * co), kernel.dtype)
+    for po in (0, 1):
+        for kk in range(kw):
+            if (po + p - kk) % 2 != 0:
+                continue
+            d = (po + p - kk) // 2
+            kf = kf.at[:, d - d_min, :, po * co : (po + 1) * co].set(kernel[:, kk])
+    kf = jnp.flip(kf, 0)  # equivalent-forward-conv form needs flipped H taps
+    return kf, (-d_min, d_max)
+
+
 def blockdiag2(w: jax.Array) -> jax.Array:
     """(a, b) -> (2a, 2b) block-diagonal [[w, 0], [0, w]]: the folded form
     of any per-pixel (1x1 conv / dense) contraction."""
@@ -154,7 +243,10 @@ def folded_layer_norm(x, g, b, eps: float = 1e-5):
     is_lo = lane < c
     if x.dtype == jnp.bfloat16:
         # same producer-epilogue barrier as ChannelLayerNorm: stop XLA
-        # from hoisting the fp32 upcast into the conv that made x
+        # from hoisting the fp32 upcast into the producing conv.
+        # Removing it was measured at 26.2 ms/step vs 16.5 (f32
+        # activations materialize across the level); the hoped-for
+        # stats-into-conv-epilogue fusion does not materialize.
         x = jax.lax.optimization_barrier(x)
     x32 = x.astype(jnp.float32)
     sgn = jnp.where(is_lo, 1.0, -1.0)

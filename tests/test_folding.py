@@ -42,6 +42,41 @@ class TestKernelFolding:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-5)
 
+    @pytest.mark.parametrize("k,p,op", [(4, 1, 0), (2, 0, 0), (6, 2, 0)])
+    def test_convT_folded_output_exact(self, k, p, op):
+        """fold_convT_kernel: folded output of a stride-2 transposed conv
+        from unfolded input equals fold2 of the direct lowering."""
+        rng = np.random.RandomState(7)
+        cin, cout = 8, 8
+        x = jnp.asarray(rng.randn(1, 6, 9, cin), jnp.float32)
+        kern = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+        direct = jax.lax.conv_general_dilated(
+            x, jnp.flip(kern, (0, 1)), (1, 1),
+            ((k - 1 - p, k - 1 - p + op), (k - 1 - p, k - 1 - p + op)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        kf, (pl_, pr) = folding.fold_convT_kernel(kern, p, op)
+        got = jax.lax.conv_general_dilated(
+            x, kf, (1, 1), ((k - 1 - p, k - 1 - p + op), (pl_, pr)),
+            lhs_dilation=(2, 1), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(folding.fold2(direct)), rtol=1e-6, atol=1e-5
+        )
+
+    def test_folded_shift_add_head(self):
+        """Small-cout folded conv (the 7x7 head) runs the fat-GEMM
+        shift-add path and matches the direct lowering."""
+        from cdc_compression_tpu.models.layers import Conv2d
+
+        rng = np.random.RandomState(8)
+        x = jnp.asarray(rng.randn(1, 8, 12, 16), jnp.float32)
+        mod = Conv2d(3, 7, padding=3)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = folding.fold2(mod.apply(params, x))
+        got = mod.apply(params, folding.fold2(x), folded=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
     def test_fold_unfold_roundtrip(self):
         x = jnp.arange(2 * 4 * 6 * 3, dtype=jnp.float32).reshape(2, 4, 6, 3)
         np.testing.assert_array_equal(np.asarray(folding.unfold2(folding.fold2(x))), np.asarray(x))
@@ -102,6 +137,17 @@ class TestFoldedModules:
         got = mod.apply(params, folding.fold2(x), folded=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    def test_upsample_module_folded_out(self):
+        from cdc_compression_tpu.models.layers import Upsample
+
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(1, 4, 6, 8), jnp.float32)
+        mod = Upsample(8)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = folding.fold2(mod.apply(params, x))
+        got = mod.apply(params, x, folded_out=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
 
 class TestFoldedUnet:
     def _setup(self):
@@ -117,32 +163,44 @@ class TestFoldedUnet:
         params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
         return unet, params, x, t, ctx
 
+    @staticmethod
+    def _set_all(on: bool):
+        folding.enable_fold_l0(on)
+        folding.enable_fold_up(on)
+        folding.enable_fold_head(on)
+
+    @staticmethod
+    def _restore_defaults():
+        folding.enable_fold_l0(False)
+        folding.enable_fold_up(False)
+        folding.enable_fold_head(True)
+
     def test_bf16_folded_close_to_unfolded(self):
         unet, params, x, t, ctx = self._setup()
         p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         args16 = (x.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
                   [c.astype(jnp.bfloat16) for c in ctx])
-        folding.enable_fold_l0(True)
         try:
+            self._set_all(True)
             y_fold = unet.apply(p16, *args16)
+            self._set_all(False)
+            y_ref = unet.apply(p16, *args16)
         finally:
-            folding.enable_fold_l0(False)
-        y_ref = unet.apply(p16, *args16)
-        folding.enable_fold_l0(True)
+            self._restore_defaults()
         d = np.abs(np.asarray(y_fold, np.float32) - np.asarray(y_ref, np.float32)).max()
         scale = np.abs(np.asarray(y_ref, np.float32)).max()
         assert d < 0.05 * max(1.0, scale), (d, scale)
 
     def test_fp32_path_not_folded(self):
-        """fp32 keeps the direct lowering (golden parity)."""
+        """fp32 keeps the direct lowering (golden parity) whatever the toggles."""
         unet, params, x, t, ctx = self._setup()
-        assert folding.fold_l0_active()
-        y1 = unet.apply(params, x, t, ctx)
-        folding.enable_fold_l0(False)
         try:
+            self._set_all(True)
+            y1 = unet.apply(params, x, t, ctx)
+            self._set_all(False)
             y2 = unet.apply(params, x, t, ctx)
         finally:
-            folding.enable_fold_l0(True)
+            self._restore_defaults()
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
     def test_folded_grads_flow(self):
@@ -154,8 +212,11 @@ class TestFoldedUnet:
                            [c.astype(jnp.bfloat16) for c in ctx])
             return jnp.mean(jnp.square(y.astype(jnp.float32)))
 
-        assert folding.fold_l0_active()
-        g = jax.grad(loss)(p16)
+        try:
+            self._set_all(True)
+            g = jax.grad(loss)(p16)
+        finally:
+            self._restore_defaults()
         leaves = jax.tree.leaves(g)
         assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all()) for a in leaves)
         # the level-0 conv grads are nonzero through the kernel-fold scatter
