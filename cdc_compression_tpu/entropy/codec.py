@@ -70,6 +70,8 @@ class ImageCodec:
         self.tables = tables or CodecTables.build(engine.compressor, params["compressor"])
         self._encode_jit = jax.jit(self._encode_device)
         self._ctx_jit = jax.jit(self._context_device)
+        self._ms_jit = jax.jit(self._mean_scale_device)
+        self._decode_cache = {}
 
     # ---- device-side pure functions ----------------------------------
     def _encode_device(self, images):
@@ -140,7 +142,7 @@ class ImageCodec:
         med = self.tables.medians.reshape(1, 1, 1, -1)
         q_hyper = jnp.asarray(h_sym.astype(np.float32) + med)
 
-        mean, scale = self._mean_scale_device(q_hyper)
+        mean, scale = self._ms_jit(q_hyper)
         mean, scale = np.asarray(mean), np.asarray(scale)
         l_idx = coder.scale_indexes(scale)
         l_sym = coder.decode_symbols(l_bytes, l_idx, self.tables.gaussian).reshape(mean.shape)
@@ -162,19 +164,53 @@ class ImageCodec:
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
         q_hyper, q_latent, (H, W) = self.decode_latents(data)
-        context = self.engine.compressor.apply(
-            self.params["compressor"], q_latent, method="decode"
+        return self.decode_from_latents(
+            q_latent, (H, W), sample_steps=sample_steps, gamma=gamma,
+            rng=rng, eta=eta, compute_dtype=compute_dtype,
         )
-        sched = make_sample_schedule(self.engine.train_sched, sample_steps)
-        k_init, k_loop = jax.random.split(rng)
+
+    def decode_from_latents(
+        self,
+        q_latent,
+        hw: Tuple[int, int],
+        *,
+        sample_steps: int = 17,
+        gamma: float = 0.8,
+        rng: Optional[jax.Array] = None,
+        eta: float = 0.0,
+        compute_dtype=None,
+    ) -> np.ndarray:
+        """(q_latent, (H, W)) -> image; the jitted synthesis + DDIM
+        program shared by `decode` (bitstream path) and by callers that
+        already hold the quantized latents."""
+        from ..ops.schedules import make_sample_schedule
+
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        H, W = hw
         shape = (1, H, W, 3)
-        init = jax.random.normal(k_init, shape) * gamma
-        cfg = self.engine.cfg
-        clip = cfg.clip_noise if cfg.pred_mode == "noise" else True
-        decoded = self.engine.p_sample_loop(
-            self.params, shape, context, sched, k_loop,
-            sample_mode="ddim", clip_denoised=clip, init=init, eta=eta,
-            compute_dtype=compute_dtype,
-        )
-        out = np.asarray(jnp.clip(decoded, -1, 1)[0] / 2.0 + 0.5)
-        return out
+        # one jitted program per (shape, steps, eta, dtype): synthesis
+        # transform + gamma-scaled init + the whole DDIM scan. Without
+        # this, each op dispatches individually — orders of magnitude
+        # slower over a remote-device (axon) link.
+        key = (shape, int(sample_steps), float(eta), compute_dtype)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            sched = make_sample_schedule(self.engine.train_sched, sample_steps)
+            cfg = self.engine.cfg
+            clip = cfg.clip_noise if cfg.pred_mode == "noise" else True
+
+            def run(params, ql, k, g):
+                context = self.engine.compressor.apply(
+                    params["compressor"], ql, method="decode"
+                )
+                k_init, k_loop = jax.random.split(k)
+                init = jax.random.normal(k_init, shape) * g
+                decoded = self.engine.p_sample_loop(
+                    params, shape, context, sched, k_loop,
+                    sample_mode="ddim", clip_denoised=clip, init=init, eta=eta,
+                    compute_dtype=compute_dtype,
+                )
+                return jnp.clip(decoded, -1, 1)[0] / 2.0 + 0.5
+
+            fn = self._decode_cache[key] = jax.jit(run)
+        return np.asarray(fn(self.params, q_latent, rng, jnp.float32(gamma)))
