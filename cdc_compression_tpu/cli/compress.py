@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--lpips_weight", type=float, default=0.0)
     p.add_argument("--save_bitstreams", action="store_true")
     p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--vbr", action="store_true",
+                   help="variable-bitrate model (FiLM-conditioned transforms)")
+    p.add_argument("--bitrate_scale", type=float, default=None,
+                   help="VBR rate knob in [0,1]; recorded in the bitstream header")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--use_ema", action="store_true", help="use EMA weights from ckpt")
     return p
@@ -74,9 +78,14 @@ def main(argv=None):
     from ..utils.presets import epsilon_family, x_family
 
     if args.family == "epsilon":
-        engine = epsilon_family(dim=args.dim, lagrangian=args.beta, aux_loss_weight=0.0)
+        engine = epsilon_family(
+            dim=args.dim, lagrangian=args.beta, aux_loss_weight=0.0, vbr=args.vbr
+        )
     else:
         engine = x_family(dim=args.dim, lagrangian=args.beta, aux_loss_weight=0.0)
+    scale = args.bitrate_scale if args.vbr else None
+    if args.vbr and scale is None:
+        scale = 0.5
 
     params = load_params(args, engine)
     codec = ImageCodec(engine, params)
@@ -91,7 +100,7 @@ def main(argv=None):
         raw = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
         H0, W0 = raw.shape[:2]
         img = pad(raw).astype(np.float32) / 255.0
-        data = codec.encode(img)
+        data = codec.encode(img, bitrate_scale=scale)
         bpp = len(data) * 8 / (H0 * W0)
         if args.save_bitstreams:
             (out_dir / (img_path.stem + ".cdc")).write_bytes(data)

@@ -15,7 +15,10 @@ offsets around medians / predicted means), so decoded images are
 bit-identical to the analytic path's.
 
 Header (little-endian): magic "CDC1", u16 H, u16 W, u8 levels(unused:0),
-u32 len(hyper_stream), u32 len(latent_stream).
+u32 len(hyper_stream), u32 len(latent_stream). VBR bitstreams use magic
+"CDC2" and append one f32: the bitrate_scale that conditioned the
+transforms (FiLM, `network_components.py:304-314`), so decode is
+self-contained.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ import numpy as np
 from . import coder
 
 _MAGIC = b"CDC1"
+_MAGIC_VBR = b"CDC2"
 
 
 @dataclass
@@ -74,42 +78,45 @@ class ImageCodec:
         self._decode_cache = {}
 
     # ---- device-side pure functions ----------------------------------
-    def _encode_device(self, images):
+    def _encode_device(self, images, cond=None):
         comp = self.engine.compressor
         q_latent, q_hyper, state = comp.apply(
-            self.params["compressor"], images, method="encode"
+            self.params["compressor"], images, cond, method="encode"
         )
         dist = state["dist"]
         return q_hyper, q_latent, dist.mean, dist.scale
 
-    def _context_device(self, q_hyper, q_latent):
+    def _context_device(self, q_hyper, q_latent, cond=None):
         """Recompute (mean, scale) from decoded hyper symbols + context."""
         comp = self.engine.compressor
 
-        def run(m, qh, ql):
-            ms = m.hyper_decode(qh)
+        def run(m, qh, ql, c):
+            ms = m.hyper_decode(qh, c)
             mean, scale = jnp.split(ms, 2, axis=-1)
-            ctx = m.decode(ql)
+            ctx = m.decode(ql, c)
             return ctx, mean, jnp.maximum(scale, 0.1)
 
-        return comp.apply(self.params["compressor"], q_hyper, q_latent, method=run)
+        return comp.apply(self.params["compressor"], q_hyper, q_latent, cond, method=run)
 
-    def _mean_scale_device(self, q_hyper):
+    def _mean_scale_device(self, q_hyper, cond=None):
         comp = self.engine.compressor
 
-        def run(m, qh):
-            ms = m.hyper_decode(qh)
+        def run(m, qh, c):
+            ms = m.hyper_decode(qh, c)
             mean, scale = jnp.split(ms, 2, axis=-1)
             return jax.lax.stop_gradient(mean), jnp.maximum(scale, 0.1)
 
-        return comp.apply(self.params["compressor"], q_hyper, method=run)
+        return comp.apply(self.params["compressor"], q_hyper, cond, method=run)
 
     # ---- public API ----------------------------------------------------
-    def encode(self, image: np.ndarray) -> bytes:
-        """image: (H,W,3) float in [0,1] -> .cdc bytes."""
+    def encode(self, image: np.ndarray, bitrate_scale: Optional[float] = None) -> bytes:
+        """image: (H,W,3) float in [0,1] -> .cdc bytes. `bitrate_scale`
+        (VBR models only) conditions the transforms and is recorded in
+        the header."""
         H, W = image.shape[:2]
         x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
-        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x))
+        cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
+        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
 
         med = self.tables.medians.reshape(1, 1, 1, -1)
         h_sym = np.round(q_hyper - med).astype(np.int32)
@@ -122,14 +129,25 @@ class ImageCodec:
         l_idx = coder.scale_indexes(scale)
         l_bytes = coder.encode_symbols(l_sym, l_idx, self.tables.gaussian)
 
-        header = _MAGIC + struct.pack("<HHBII", H, W, 0, len(h_bytes), len(l_bytes))
+        if bitrate_scale is None:
+            header = _MAGIC + struct.pack("<HHBII", H, W, 0, len(h_bytes), len(l_bytes))
+        else:
+            header = _MAGIC_VBR + struct.pack(
+                "<HHBIIf", H, W, 0, len(h_bytes), len(l_bytes), float(bitrate_scale)
+            )
         return header + h_bytes + l_bytes
 
-    def decode_latents(self, data: bytes) -> Tuple[jax.Array, jax.Array, Tuple[int, int]]:
-        """bytes -> (q_hyper, q_latent) device tensors + (H, W)."""
-        assert data[:4] == _MAGIC, "bad magic"
+    def decode_latents(self, data: bytes):
+        """bytes -> (q_hyper, q_latent) device tensors + (H, W) +
+        bitrate_scale (None unless a VBR stream)."""
+        magic = data[:4]
+        assert magic in (_MAGIC, _MAGIC_VBR), "bad magic"
         H, W, _, n_h, n_l = struct.unpack("<HHBII", data[4:17])
         off = 17
+        bitrate_scale = None
+        if magic == _MAGIC_VBR:
+            (bitrate_scale,) = struct.unpack("<f", data[17:21])
+            off = 21
         h_bytes = data[off : off + n_h]
         l_bytes = data[off + n_h : off + n_h + n_l]
 
@@ -142,12 +160,13 @@ class ImageCodec:
         med = self.tables.medians.reshape(1, 1, 1, -1)
         q_hyper = jnp.asarray(h_sym.astype(np.float32) + med)
 
-        mean, scale = self._ms_jit(q_hyper)
+        cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
+        mean, scale = self._ms_jit(q_hyper, cond)
         mean, scale = np.asarray(mean), np.asarray(scale)
         l_idx = coder.scale_indexes(scale)
         l_sym = coder.decode_symbols(l_bytes, l_idx, self.tables.gaussian).reshape(mean.shape)
         q_latent = jnp.asarray(l_sym.astype(np.float32) + mean)
-        return q_hyper, q_latent, (H, W)
+        return q_hyper, q_latent, (H, W), bitrate_scale
 
     def decode(
         self,
@@ -163,10 +182,11 @@ class ImageCodec:
         from ..ops.schedules import make_sample_schedule
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        q_hyper, q_latent, (H, W) = self.decode_latents(data)
+        q_hyper, q_latent, (H, W), bitrate_scale = self.decode_latents(data)
         return self.decode_from_latents(
             q_latent, (H, W), sample_steps=sample_steps, gamma=gamma,
             rng=rng, eta=eta, compute_dtype=compute_dtype,
+            bitrate_scale=bitrate_scale,
         )
 
     def decode_from_latents(
@@ -179,6 +199,7 @@ class ImageCodec:
         rng: Optional[jax.Array] = None,
         eta: float = 0.0,
         compute_dtype=None,
+        bitrate_scale: Optional[float] = None,
     ) -> np.ndarray:
         """(q_latent, (H, W)) -> image; the jitted synthesis + DDIM
         program shared by `decode` (bitstream path) and by callers that
@@ -192,16 +213,16 @@ class ImageCodec:
         # transform + gamma-scaled init + the whole DDIM scan. Without
         # this, each op dispatches individually — orders of magnitude
         # slower over a remote-device (axon) link.
-        key = (shape, int(sample_steps), float(eta), compute_dtype)
+        key = (shape, int(sample_steps), float(eta), compute_dtype, bitrate_scale is None)
         fn = self._decode_cache.get(key)
         if fn is None:
             sched = make_sample_schedule(self.engine.train_sched, sample_steps)
             cfg = self.engine.cfg
             clip = cfg.clip_noise if cfg.pred_mode == "noise" else True
 
-            def run(params, ql, k, g):
+            def run(params, ql, k, g, cond):
                 context = self.engine.compressor.apply(
-                    params["compressor"], ql, method="decode"
+                    params["compressor"], ql, cond, method="decode"
                 )
                 k_init, k_loop = jax.random.split(k)
                 init = jax.random.normal(k_init, shape) * g
@@ -213,4 +234,5 @@ class ImageCodec:
                 return jnp.clip(decoded, -1, 1)[0] / 2.0 + 0.5
 
             fn = self._decode_cache[key] = jax.jit(run)
-        return np.asarray(fn(self.params, q_latent, rng, jnp.float32(gamma)))
+        cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
+        return np.asarray(fn(self.params, q_latent, rng, jnp.float32(gamma), cond))

@@ -186,8 +186,9 @@ def init_params(engine: GaussianDiffusion, rng, image_hw: Tuple[int, int] = (256
         jax.random.PRNGKey(rng) if isinstance(rng, int) else rng, 3
     )
     x = jnp.zeros((1, h, w, 3))
-    comp_params = engine.compressor.init(k2, x)
-    ctx = engine.compressor.apply(comp_params, x)["output"]
+    cond = jnp.full((1,), 0.5, jnp.float32) if engine.compressor.vbr else None
+    comp_params = engine.compressor.init(k2, x, cond)
+    ctx = engine.compressor.apply(comp_params, x, cond)["output"]
     time0 = jnp.zeros((1, 1)) if engine.cfg.embd_type == "01" else jnp.zeros((1,))
     net_in = x
     params = {"compressor": comp_params}

@@ -40,7 +40,8 @@ class TestBitstream:
         x = jnp.asarray(img)[None] * 2 - 1
         q_hyper_t, q_latent_t, _, _ = small_codec._encode_jit(x)
 
-        q_hyper, q_latent, (H, W) = small_codec.decode_latents(data)
+        q_hyper, q_latent, (H, W), scale = small_codec.decode_latents(data)
+        assert scale is None
         assert (H, W) == (64, 64)
         np.testing.assert_array_equal(np.asarray(q_hyper), np.asarray(q_hyper_t))
         np.testing.assert_array_equal(np.asarray(q_latent), np.asarray(q_latent_t))
@@ -70,6 +71,43 @@ class TestBitstream:
         data = small_codec.encode(img)
         bpp = len(data) * 8 / (64 * 64)
         assert 0 < bpp < 24  # lossless-of-noise upper bound sanity
+
+    def test_vbr_bitstream_roundtrip(self):
+        """VBR models: the bitrate_scale conditions the transforms and
+        rides the CDC2 header; latents roundtrip exactly per scale."""
+        unet = models.Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,),
+                           channels=3, context_channels=3)
+        comp = models.BigCompressor(dim=8, dim_mults=(1, 2, 3, 4),
+                                    hyper_dims_mults=(4, 4, 4),
+                                    channels=3, out_channels=3, vbr=True)
+        cfg = DiffusionConfig(num_timesteps=64, var_schedule="linear",
+                              pred_mode="noise", loss_type="l1", clip_noise="none",
+                              vbr=True)
+        engine = GaussianDiffusion(unet, comp, cfg)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        x = jnp.zeros((1, 64, 64, 3))
+        cond0 = jnp.full((1,), 0.5, jnp.float32)
+        comp_p = comp.init(k2, x, cond0)
+        ctx = comp.apply(comp_p, x, cond0)["output"]
+        unet_p = unet.init(k1, x, jnp.zeros((1, 1)), ctx[:1])
+        codec = ImageCodec(engine, {"unet": unet_p, "compressor": comp_p})
+
+        img = np.random.RandomState(4).rand(64, 64, 3).astype(np.float32)
+        for s in (0.0, 1.0):
+            data = codec.encode(img, bitrate_scale=s)
+            assert data[:4] == b"CDC2"
+            qh, ql, (H, W), s_back = codec.decode_latents(data)
+            assert s_back == pytest.approx(s)
+            cond = jnp.full((1,), s, jnp.float32)
+            qh_t, ql_t, _, _ = codec._encode_jit(jnp.asarray(img)[None] * 2 - 1, cond)
+            np.testing.assert_array_equal(np.asarray(qh), np.asarray(qh_t))
+            np.testing.assert_array_equal(np.asarray(ql), np.asarray(ql_t))
+            out = codec.decode(data, sample_steps=2)
+            assert out.shape == (64, 64, 3) and np.isfinite(out).all()
+        # the two scales must produce different conditioned streams
+        d0 = codec.encode(img, bitrate_scale=0.0)
+        d1 = codec.encode(img, bitrate_scale=1.0)
+        assert d0 != d1
 
     def test_corrupt_magic_rejected(self, small_codec):
         rng = np.random.RandomState(3)
