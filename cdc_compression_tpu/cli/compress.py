@@ -41,6 +41,9 @@ def build_parser():
                    help="VBR rate knob in [0,1]; recorded in the bitstream header")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--use_ema", action="store_true", help="use EMA weights from ckpt")
+    p.add_argument("--io_workers", type=int, default=0,
+                   help="overlap host image IO with device compute: N reader/"
+                        "writer threads (0 = fully sequential)")
     return p
 
 
@@ -94,26 +97,64 @@ def main(argv=None):
     pad = PadToMultiple(64)
 
     dtype = jnp.bfloat16 if args.bf16 else None
-    for img_path in sorted(pathlib.Path(args.img_dir).iterdir()):
-        if img_path.suffix.lower() not in (".png", ".jpg", ".jpeg"):
-            continue
+    paths = [
+        p for p in sorted(pathlib.Path(args.img_dir).iterdir())
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    ]
+
+    def read(img_path):
         raw = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
+        return raw, pad(raw).astype(np.float32) / 255.0
+
+    def finish(img_path, raw, data, out):
+        """Host-side epilogue: crop, save, report (runs off-thread when
+        --io_workers > 0 — PNG encode overlaps the next image's decode)."""
         H0, W0 = raw.shape[:2]
-        img = pad(raw).astype(np.float32) / 255.0
-        data = codec.encode(img, bitrate_scale=scale)
+        out = np.asarray(out)[:H0, :W0]
         bpp = len(data) * 8 / (H0 * W0)
         if args.save_bitstreams:
             (out_dir / (img_path.stem + ".cdc")).write_bytes(data)
-        out = codec.decode(
-            data, sample_steps=args.n_denoise_step, gamma=args.gamma,
-            rng=jax.random.PRNGKey(0), eta=args.eta, compute_dtype=dtype,
-        )[:H0, :W0]
         Image.fromarray((np.clip(out, 0, 1) * 255).round().astype(np.uint8)).save(
             out_dir / img_path.name
         )
         mse = float(np.mean(np.square(out - raw.astype(np.float32) / 255.0)))
         psnr = -10 * np.log10(max(mse, 1e-12))
         print(f"{img_path.name}: bpp={bpp:.4f} psnr={psnr:.2f} bytes={len(data)}")
+
+    def run_one(img_path, loaded):
+        raw, img = loaded
+        data = codec.encode(img, bitrate_scale=scale)
+        out = codec.decode(
+            data, sample_steps=args.n_denoise_step, gamma=args.gamma,
+            rng=jax.random.PRNGKey(0), eta=args.eta, compute_dtype=dtype,
+        )
+        return raw, data, out
+
+    if args.io_workers <= 0:
+        for img_path in paths:
+            finish(img_path, *run_one(img_path, read(img_path)))
+        return
+
+    # pipelined serving: reader threads prefetch + pad, the main thread
+    # drives the (single) device, writer threads crop/encode/save —
+    # device compute for image i overlaps PIL decode of i+1..i+N and
+    # PNG encode of i-1 (results are printed in submission order)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(args.io_workers) as readers, ThreadPoolExecutor(
+        args.io_workers
+    ) as writers:
+        prefetch = args.io_workers + 1
+        reads = {p: readers.submit(read, p) for p in paths[:prefetch]}
+        writes = []
+        for i, img_path in enumerate(paths):
+            if i + prefetch < len(paths):
+                nxt = paths[i + prefetch]
+                reads[nxt] = readers.submit(read, nxt)
+            raw, data, out = run_one(img_path, reads.pop(img_path).result())
+            writes.append(writers.submit(finish, img_path, raw, data, out))
+        for w in writes:
+            w.result()
 
 
 if __name__ == "__main__":

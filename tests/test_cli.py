@@ -44,6 +44,23 @@ class TestCompressCLI:
         # decoded image keeps the original (pre-pad) size
         assert Image.open(out / "b.png").size == (80, 72)
 
+    def test_pipelined_io_matches_sequential(self, img_dir, tmp_path, capsys):
+        """--io_workers overlaps host IO with device compute; outputs
+        must be byte-identical to the sequential path."""
+        from cdc_compression_tpu.cli.compress import main
+
+        seq, pipe = tmp_path / "seq", tmp_path / "pipe"
+        base = ["--img_dir", str(img_dir), "--dim", "16", "--n_denoise_step", "2",
+                "--save_bitstreams"]
+        main(base + ["--out_dir", str(seq)])
+        main(base + ["--out_dir", str(pipe), "--io_workers", "2"])
+        capsys.readouterr()
+        for name in ("a", "b"):
+            for ext in (".png", ".cdc"):
+                assert (pipe / f"{name}{ext}").read_bytes() == (
+                    seq / f"{name}{ext}"
+                ).read_bytes()
+
 
 class TestEvaluateCLI:
     def test_rd_sweep_json(self, img_dir, tmp_path):
