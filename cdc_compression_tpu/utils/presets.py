@@ -187,14 +187,18 @@ def init_params(engine: GaussianDiffusion, rng, image_hw: Tuple[int, int] = (256
     )
     x = jnp.zeros((1, h, w, 3))
     cond = jnp.full((1,), 0.5, jnp.float32) if engine.compressor.vbr else None
-    comp_params = engine.compressor.init(k2, x, cond)
-    ctx = engine.compressor.apply(comp_params, x, cond)["output"]
+    # jit every init/apply: flax init otherwise executes op-by-op, which
+    # takes minutes against a remote-attached (axon) TPU at full size
+    comp_params = jax.jit(engine.compressor.init)(k2, x, cond)
+    ctx = jax.jit(engine.compressor.apply)(comp_params, x, cond)["output"]
     time0 = jnp.zeros((1, 1)) if engine.cfg.embd_type == "01" else jnp.zeros((1,))
     net_in = x
     params = {"compressor": comp_params}
     if engine.ae is not None:
-        ae_params = engine.ae.init(k3, x, k3, True)
-        net_in = engine.ae.apply(ae_params, x, method="encode").mode
+        ae_params = jax.jit(engine.ae.init, static_argnums=(3,))(k3, x, k3, True)
+        net_in = jax.jit(lambda p, a: engine.ae.apply(p, a, method="encode").mode)(
+            ae_params, x
+        )
         params["ae"] = ae_params
-    params["unet"] = engine.unet.init(k1, net_in, time0, ctx)
+    params["unet"] = jax.jit(engine.unet.init)(k1, net_in, time0, ctx)
     return params
