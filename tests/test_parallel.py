@@ -68,6 +68,38 @@ class TestTileParallel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=5e-3)
         np.testing.assert_allclose(np.asarray(got_bpp), np.asarray(want_bpp), rtol=1e-3, atol=1e-5)
 
+    def test_tile_sharded_bf16_decode_with_folded_tail(self, mesh8):
+        """The bf16 decode fast paths (incl. the width-folded tail, on by
+        default) must partition under the (data, tile) mesh and stay
+        bf16-close to the single-device bf16 decode."""
+        from cdc_compression_tpu.ops import folding
+
+        assert folding.fold_head_active()
+        engine = tiny_engine()
+        params = tiny_params(engine)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-1, maxval=1)
+        init = jax.random.normal(jax.random.PRNGKey(2), x.shape) * 0.8
+
+        # ONE step: recursive DDIM on an untrained net amplifies bf16 +
+        # reassociation noise chaotically, so exactness is only testable
+        # non-recursively (the fp32 4-step case above covers recursion)
+        want, _ = jax.jit(
+            lambda p, im: engine.compress(p, im, sample_steps=1, rng=rng, init=init,
+                                          compute_dtype=jnp.bfloat16,
+                                          bpp_return_mean=False)
+        )(params, x)
+
+        decode = tile_decode_fn(engine, mesh8, sample_steps=1,
+                                compute_dtype=jnp.bfloat16)
+        with mesh8:
+            got, _ = decode(params, x, rng, init)
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        assert np.isfinite(g).all()
+        scale = max(1.0, float(np.abs(w).max()))
+        assert float(np.abs(g - w).max()) < 0.05 * scale
+
     def test_attention_exact_under_spatial_sharding(self, mesh8):
         """LinearAttention's global softmax + KV summary must be exact when
         H is sharded (psum path)."""
