@@ -74,7 +74,8 @@ class Unet(nn.Module):
         foldable = (
             x.dtype == jnp.bfloat16 and x.shape[2] % 2 == 0 and num_resolutions > 1
         )
-        fold0 = foldable and folding.fold_l0_active()
+        l0_cin = self.channels + (self.context_channels if n_ctx > 0 else 0)
+        fold0 = foldable and folding.fold_l0_active(l0_cin)
         h = []
         for ind in range(num_resolutions):
             is_last = ind >= num_resolutions - 1

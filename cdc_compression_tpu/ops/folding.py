@@ -44,23 +44,27 @@ order (fp32 golden parity against the PyTorch reference stays on the
 direct lowering).
 
 MEASURED VERDICT (v5e, 768x512 17-step bf16 decode, device self-time
-from xprof hlo_stats over the scanned loop): only the *tail* fold wins.
-The blocking cost is `folded_layer_norm`: its stats pass cannot fuse
-into the producing conv's epilogue the way the plain 64-channel LN does
-(~0.33 ms vs ~0.05 ms per full-res instance; masked 4-acc, variadic
-reduce, (…,2,C)-reshape, lane-slice, GEMM-stats and three Pallas kernel
-variants all measured ≥ that, and dropping the upcast barrier
-materializes f32 activations: 26.2 ms/step). Config ranking:
+from xprof hlo_stats over the scanned loop). The tail fold always wins;
+the stage folds pay a fixed `folded_layer_norm` tax — its stats pass
+cannot fuse into the producing conv's epilogue the way the plain
+64-channel LN does (~0.33 ms vs ~0.05 ms per full-res instance; masked
+4-acc, variadic reduce, (…,2,C)-reshape, lane-slice, GEMM-stats and
+three Pallas kernel variants all measured ≥ that, and dropping the
+upcast barrier materializes f32 activations: 26.2 ms/step) — so the
+down-level-0 fold pays off only when the entry conv is big enough:
 
-    fold head only (default)        15.63 ms/step
-    no folding                      15.95
-    + down level-0 folded           16.38
-    + up stage folded               16.46
+    ε-family (3-ch context, level-0 cin 6):
+        fold head only (default)        15.63 ms/step
+        no folding                      15.95
+        + down level-0 folded           16.38
+        + up stage folded               16.46
+    x-family (64-ch context, level-0 cin 67):
+        head only                       20.35 ms/step
+        + down level-0 folded (default) 18.45
 
-Hence defaults: FOLD_HEAD on (tail = final Upsample -> folded LN ->
-folded shift-add 7x7 head, exactly one LN tax against three wins),
-FOLD_L0/FOLD_UP off but fully implemented + exactness-tested, ready to
-flip when the LN-fusion economics change.
+Hence defaults: FOLD_HEAD on; FOLD_L0 auto by level-0 input width
+(>= FOLD_L0_AUTO_MIN_CIN folds — the x-family's 7x7 165-GFLOP entry
+conv runs at 125 vs 39 TFLOP/s folded); FOLD_UP off.
 
 Reference behavior being accelerated: the full-resolution blocks of
 `epsilonparam/modules/unet.py:49-69` / `network_components.py:83-139`.
@@ -71,26 +75,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_FOLD_L0 = False
+_FOLD_L0 = None  # None = auto (per-model), True/False = forced
 _FOLD_UP = False
 _FOLD_HEAD = True
 
+# auto rule: fold the down-level-0 stage when its входной channel count
+# (image + context channels) is at least this — the stage fold's fixed
+# LayerNorm tax (~1.65 ms/step at 768x512) is paid off by the entry
+# conv's FLOPs, which scale with cin. Measured: ε-family (cin 6) loses
+# 0.43 ms/step folded; x-family (cin 67) WINS 1.9 ms/step (20.35 ->
+# 18.45) because its 7x7 165-GFLOP entry conv runs at 125 vs 39 TFLOP/s.
+FOLD_L0_AUTO_MIN_CIN = 32
 
-def enable_fold_l0(on: bool) -> None:
-    """Toggle the folded down-level-0 U-Net stage (bf16 path).
 
-    Default OFF: measured net-negative on v5e (device self-time
-    16.38 ms/step vs 15.95 unfolded at 768x512/17-step decode) — the
-    folded convs run at MXU peak (192 vs 66 TFLOP/s) but the per-half
-    LayerNorm costs ~0.33 ms/instance vs ~0.05 unfolded (its stats
-    reduce cannot fuse into the conv epilogue), eating the conv wins.
-    Kept available: flips to a win wherever the LN tax shrinks
-    (future XLA, other models/shapes)."""
+def enable_fold_l0(on) -> None:
+    """Force the folded down-level-0 U-Net stage on/off (bf16 path), or
+    pass None to restore the auto rule (fold iff the level-0 input has
+    >= FOLD_L0_AUTO_MIN_CIN channels — see the measured table above)."""
     global _FOLD_L0
-    _FOLD_L0 = bool(on)
+    _FOLD_L0 = None if on is None else bool(on)
 
 
-def fold_l0_active() -> bool:
+def fold_l0_active(l0_cin: int = 0) -> bool:
+    """Whether to fold the down-level-0 stage for a model whose level-0
+    input (image + concatenated context) has `l0_cin` channels."""
+    if _FOLD_L0 is None:
+        return l0_cin >= FOLD_L0_AUTO_MIN_CIN
     return _FOLD_L0
 
 

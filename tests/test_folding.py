@@ -171,7 +171,7 @@ class TestFoldedUnet:
 
     @staticmethod
     def _restore_defaults():
-        folding.enable_fold_l0(False)
+        folding.enable_fold_l0(None)  # auto by level-0 input width
         folding.enable_fold_up(False)
         folding.enable_fold_head(True)
 
@@ -202,6 +202,33 @@ class TestFoldedUnet:
         finally:
             self._restore_defaults()
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_auto_rule_by_context_width(self):
+        """fold_l0 default is auto: off for the ε-family's 6-channel
+        level-0 input, on for the x-family's 67-channel one."""
+        assert not folding.fold_l0_active(6)
+        assert folding.fold_l0_active(67)
+        folding.enable_fold_l0(False)
+        try:
+            assert not folding.fold_l0_active(67)
+        finally:
+            folding.enable_fold_l0(None)
+        assert folding.fold_l0_active(67)
+
+    def test_x_family_bf16_decode_with_auto_fold(self):
+        """x-family bf16 decode exercises the auto-folded level 0 end to
+        end (finite output, rate path bit-identical to fp32)."""
+        from cdc_compression_tpu.utils.presets import init_params, x_family
+
+        engine = x_family(dim=16, num_timesteps=32, aux_loss_weight=0.0)
+        params = init_params(engine, 0, image_hw=(64, 64))
+        x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3) * 2 - 1, jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        dec16, bpp16 = engine.compress(params, x, sample_steps=2, rng=rng,
+                                       compute_dtype=jnp.bfloat16)
+        dec32, bpp32 = engine.compress(params, x, sample_steps=2, rng=rng)
+        assert bool(jnp.isfinite(dec16.astype(jnp.float32)).all())
+        np.testing.assert_array_equal(np.asarray(bpp16), np.asarray(bpp32))
 
     def test_folded_grads_flow(self):
         unet, params, x, t, ctx = self._setup()

@@ -80,6 +80,7 @@ def _main():
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--train", action="store_true", help="profile the train step instead of decode")
+    p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
     p.add_argument("--steps", type=int, default=17)
     p.add_argument("--loops", type=int, default=3)
     p.add_argument("--hw", type=int, nargs=2, default=(512, 768))
@@ -96,7 +97,7 @@ def _main():
     import jax.numpy as jnp
     import numpy as np
 
-    from cdc_compression_tpu.utils.presets import epsilon_family, init_params
+    from cdc_compression_tpu.utils.presets import epsilon_family, init_params, x_family
 
     H, W = args.hw
     if args.train:
@@ -122,7 +123,8 @@ def _main():
 
     from cdc_compression_tpu.ops.schedules import make_sample_schedule
 
-    engine = epsilon_family(aux_loss_weight=0.0)
+    fam = epsilon_family if args.family == "epsilon" else x_family
+    engine = fam(aux_loss_weight=0.0)
     params = init_params(engine, 0, image_hw=(H, W))
     x = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 3) * 2 - 1, jnp.float32)
     rng = jax.random.PRNGKey(0)
@@ -131,9 +133,10 @@ def _main():
     ctx = jax.jit(lambda p, im: engine.compressor.apply(p, im)["output"])(
         params["compressor"], x
     )
+    clip = "none" if args.family == "epsilon" else True
     loop = jax.jit(
         lambda p, c, ini: engine.p_sample_loop(
-            p, x.shape, list(c), sched, rng, init=ini, clip_denoised="none",
+            p, x.shape, list(c), sched, rng, init=ini, clip_denoised=clip,
             compute_dtype=jnp.bfloat16,
         )
     )
