@@ -14,11 +14,13 @@ Decode reproduces the exact q_latent/q_hyper_latent tensors (integer
 offsets around medians / predicted means), so decoded images are
 bit-identical to the analytic path's.
 
-Header (little-endian): magic "CDC1", u16 H, u16 W, u8 levels(unused:0),
+Header (little-endian): magic "CDC1", u32 H, u32 W, u8 levels(unused:0),
 u32 len(hyper_stream), u32 len(latent_stream). VBR bitstreams use magic
 "CDC2" and append one f32: the bitrate_scale that conditioned the
 transforms (FiLM, `network_components.py:304-314`), so decode is
-self-contained.
+self-contained. Latent/hyper grid shapes are NOT stored: they are
+derived from the compressor config (`latent_downsample` /
+`hyper_downsample`), so the container works for any stage count.
 """
 
 from __future__ import annotations
@@ -114,9 +116,17 @@ class ImageCodec:
         (VBR models only) conditions the transforms and is recorded in
         the header."""
         H, W = image.shape[:2]
+        comp = self.engine.compressor
+        if H % comp.hyper_downsample or W % comp.hyper_downsample:
+            raise ValueError(
+                f"image {H}x{W} not a multiple of the hyper stride "
+                f"{comp.hyper_downsample} (pad first)"
+            )
         x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
         cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
         q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
+        assert q_hyper.shape[1:3] == (H // comp.hyper_downsample, W // comp.hyper_downsample)
+        assert q_latent.shape[1:3] == (H // comp.latent_downsample, W // comp.latent_downsample)
 
         med = self.tables.medians.reshape(1, 1, 1, -1)
         h_sym = np.round(q_hyper - med).astype(np.int32)
@@ -130,10 +140,10 @@ class ImageCodec:
         l_bytes = coder.encode_symbols(l_sym, l_idx, self.tables.gaussian)
 
         if bitrate_scale is None:
-            header = _MAGIC + struct.pack("<HHBII", H, W, 0, len(h_bytes), len(l_bytes))
+            header = _MAGIC + struct.pack("<IIBII", H, W, 0, len(h_bytes), len(l_bytes))
         else:
             header = _MAGIC_VBR + struct.pack(
-                "<HHBIIf", H, W, 0, len(h_bytes), len(l_bytes), float(bitrate_scale)
+                "<IIBIIf", H, W, 0, len(h_bytes), len(l_bytes), float(bitrate_scale)
             )
         return header + h_bytes + l_bytes
 
@@ -142,17 +152,18 @@ class ImageCodec:
         bitrate_scale (None unless a VBR stream)."""
         magic = data[:4]
         assert magic in (_MAGIC, _MAGIC_VBR), "bad magic"
-        H, W, _, n_h, n_l = struct.unpack("<HHBII", data[4:17])
-        off = 17
+        H, W, _, n_h, n_l = struct.unpack("<IIBII", data[4:21])
+        off = 21
         bitrate_scale = None
         if magic == _MAGIC_VBR:
-            (bitrate_scale,) = struct.unpack("<f", data[17:21])
-            off = 21
+            (bitrate_scale,) = struct.unpack("<f", data[off : off + 4])
+            off += 4
         h_bytes = data[off : off + n_h]
         l_bytes = data[off + n_h : off + n_h + n_l]
 
         C_hyper = self.tables.medians.shape[0]
-        hh, hw = H // 64, W // 64
+        ds = self.engine.compressor.hyper_downsample
+        hh, hw = H // ds, W // ds
         h_idx = np.broadcast_to(
             np.arange(C_hyper, dtype=np.int32), (1, hh, hw, C_hyper)
         )

@@ -49,6 +49,17 @@ class BaseCompressor(nn.Module):
     def hyper_channels(self) -> int:
         return self.dim * self.hyper_dims_mults[-1]
 
+    @property
+    def latent_downsample(self) -> int:
+        """Spatial stride image -> latent: one 2x down per encode stage."""
+        return 2 ** len(self.dim_mults)
+
+    @property
+    def hyper_downsample(self) -> int:
+        """Spatial stride image -> hyper-latent: the hyper encoder's first
+        conv is stride 1, the rest are stride 2 (`build_hyper`)."""
+        return self.latent_downsample * 2 ** (len(self.hyper_dims_mults) - 1)
+
     def setup(self):
         self.prior = FlexiblePrior(self.hyper_channels, name="prior")
         self.build_stages()

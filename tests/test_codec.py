@@ -109,6 +109,44 @@ class TestBitstream:
         d1 = codec.encode(img, bitrate_scale=1.0)
         assert d0 != d1
 
+    @pytest.mark.parametrize(
+        "dim_mults,hyper_mults",
+        [((1, 2, 3), (4, 4, 4)), ((1, 2, 3, 4), (4, 4))],
+        ids=["enc3stage", "hyper2stage"],
+    )
+    def test_nondefault_stride_roundtrip(self, dim_mults, hyper_mults):
+        """The container derives grid shapes from the compressor config
+        (`latent_downsample`/`hyper_downsample`) instead of assuming the
+        default 4+3-stride geometry — round-trip must hold for other
+        stage counts."""
+        unet = models.Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,),
+                           channels=3, context_channels=3)
+        comp = models.BigCompressor(dim=8, dim_mults=dim_mults,
+                                    hyper_dims_mults=hyper_mults,
+                                    channels=3, out_channels=3)
+        cfg = DiffusionConfig(num_timesteps=64, var_schedule="linear",
+                              pred_mode="noise", loss_type="l1", clip_noise="none")
+        engine = GaussianDiffusion(unet, comp, cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        comp_p = comp.init(jax.random.PRNGKey(2), x)
+        codec = ImageCodec(engine, {"unet": None, "compressor": comp_p})
+
+        img = np.random.RandomState(5).rand(64, 64, 3).astype(np.float32)
+        data = codec.encode(img)
+        qh, ql, (H, W), _ = codec.decode_latents(data)
+        assert (H, W) == (64, 64)
+        ds_h, ds_l = comp.hyper_downsample, comp.latent_downsample
+        assert qh.shape[1:3] == (64 // ds_h, 64 // ds_h)
+        assert ql.shape[1:3] == (64 // ds_l, 64 // ds_l)
+        qh_t, ql_t, _, _ = codec._encode_jit(jnp.asarray(img)[None] * 2 - 1)
+        np.testing.assert_array_equal(np.asarray(qh), np.asarray(qh_t))
+        np.testing.assert_array_equal(np.asarray(ql), np.asarray(ql_t))
+
+    def test_unaligned_image_rejected(self, small_codec):
+        img = np.zeros((60, 64, 3), np.float32)
+        with pytest.raises(ValueError, match="multiple of the hyper stride"):
+            small_codec.encode(img)
+
     def test_corrupt_magic_rejected(self, small_codec):
         rng = np.random.RandomState(3)
         img = rng.rand(64, 64, 3).astype(np.float32)
