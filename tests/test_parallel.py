@@ -5,8 +5,13 @@ exchange, and attention reductions are validated for EXACTNESS against
 single-device execution.
 """
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+REPO = Path(__file__).resolve().parent.parent
 
 import jax
 import jax.numpy as jnp
@@ -148,3 +153,73 @@ class TestDistributedSetup:
         assert info["process_count"] == 1
         assert info["global_devices"] == len(__import__("jax").devices())
         assert info["local_devices"] >= 1
+
+    _WORKER = """
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from cdc_compression_tpu.parallel.distributed import setup_distributed
+info = setup_distributed(coordinator_address={addr!r}, num_processes=2,
+                         process_id=int(sys.argv[1]), initialization_timeout=60)
+print(json.dumps(info))
+"""
+
+    def test_two_process_cpu_smoke(self, tmp_path):
+        """Real 2-process jax.distributed handshake on the CPU backend:
+        both workers must see process_count=2 and a global device count
+        of 2x their local one."""
+        import json
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        script = tmp_path / "worker.py"
+        script.write_text(
+            self._WORKER.format(repo=str(REPO), addr=f"127.0.0.1:{port}")
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=180) for p in procs]
+        for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{err}"
+            info = json.loads(out.strip().splitlines()[-1])
+            assert info["process_count"] == 2
+            assert info["process_index"] == i
+            assert info["global_devices"] == 2 * info["local_devices"]
+
+    def test_claimed_multihost_fails_loudly(self, tmp_path):
+        """If the environment claims multi-host but initialization cannot
+        complete, setup_distributed must raise — never degrade silently
+        to a single-host run."""
+        import subprocess
+        import sys
+
+        script = tmp_path / "bad.py"
+        script.write_text(
+            "import sys\n"
+            "import jax\n"
+            'jax.config.update("jax_platforms", "cpu")\n'
+            f"sys.path.insert(0, {str(REPO)!r})\n"
+            "from cdc_compression_tpu.parallel.distributed import setup_distributed\n"
+            "setup_distributed(coordinator_address='127.0.0.1:1', num_processes=2,\n"
+            "                  process_id=1, initialization_timeout=5)\n"
+            "print('REACHED-SINGLE-HOST')\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        p = subprocess.run(
+            [sys.executable, str(script)], capture_output=True, text=True,
+            env=env, timeout=180,
+        )
+        assert p.returncode != 0
+        assert "REACHED-SINGLE-HOST" not in p.stdout
