@@ -193,6 +193,13 @@ class Trainer:
             if self._writer is not None:
                 self._writer.add_scalar(f"bpp/num{i}", float(bpp), global_step)
                 self._writer.add_scalar(f"psnr/num{i}", float(psnr), global_step)
+                # decoded/ground-truth image pairs, the reference's main
+                # eyeball-verification loop (epsilonparam/modules/
+                # trainer.py:151-165). tensorboardX wants NCHW.
+                dec = np.asarray(decoded01, np.float32).transpose(0, 3, 1, 2)
+                gt = np.asarray(batch, np.float32).transpose(0, 3, 1, 2)
+                self._writer.add_images(f"compressed/num{i}", dec, global_step)
+                self._writer.add_images(f"original/num{i}", gt, global_step)
         return out
 
     # -- checkpointing (orbax) -----------------------------------------
