@@ -13,6 +13,27 @@ checkpoints, so weights must be converted offline via
 With random init the module is still a valid (untrained) perceptual-ish
 distance usable for smoke tests; training runs that need the published
 RD-perception tradeoff must load converted weights.
+
+Offline weight-drop procedure (on any machine with torchvision + lpips):
+
+    import torch, lpips, torchvision
+    m = lpips.LPIPS(net="vgg")                       # downloads weights
+    torch.save(torchvision.models.vgg16(weights="DEFAULT")
+               .features.state_dict(), "vgg16_features.pt")
+    torch.save({k: v for k, v in m.state_dict().items()
+                if k.startswith("lin")}, "lpips_lin.pt")
+
+copy both files here, then convert and checkpoint the tree once:
+
+    vgg_sd = torch.load("vgg16_features.pt")
+    lin_sd = torch.load("lpips_lin.pt")         # keys "lin{s}.model.1.weight"
+    params = convert_lpips_weights(vgg_sd, lin_sd)
+    orbax.checkpoint.StandardCheckpointer().save(path, params)
+
+and pass `make_perceptual_fn(params)` into the engine. Numerical parity
+of this module + converter against the torch math is golden-tested with
+a synthetic state_dict in
+`tests/test_training.py::TestLPIPS::test_golden_vs_torch_math`.
 """
 
 from __future__ import annotations
@@ -60,8 +81,10 @@ class LPIPS(nn.Module):
         fb = vgg((b - shift) / scale)
         total = 0.0
         for s, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa * jax.lax.rsqrt(jnp.sum(xa * xa, -1, keepdims=True) + 1e-10)
-            nb = xb * jax.lax.rsqrt(jnp.sum(xb * xb, -1, keepdims=True) + 1e-10)
+            # exact lpips-0.1.4 normalize_tensor semantics: the eps is
+            # added to the norm, not under the sqrt
+            na = xa / (jnp.sqrt(jnp.sum(xa * xa, -1, keepdims=True)) + 1e-10)
+            nb = xb / (jnp.sqrt(jnp.sum(xb * xb, -1, keepdims=True)) + 1e-10)
             d = jnp.square(na - nb)
             w = self.param(f"lin{s}_w", nn.initializers.ones, (d.shape[-1],))
             # lpips lin heads are non-negative 1x1 convs

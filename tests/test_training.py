@@ -56,6 +56,30 @@ class TestTrainer:
         assert int(state.step) == 30
         assert state.ema is not None
 
+    def test_validate_logs_scalars_and_image_pairs(self, tmp_path):
+        """Validation must log decoded/GT image grids to TensorBoard like
+        the reference (`epsilonparam/modules/trainer.py:151-165`), not
+        just scalars."""
+        from unittest import mock
+
+        engine = tiny_engine()
+        cfg = TrainConfig(results_dir=str(tmp_path), sample_steps=2,
+                          val_num_of_batch=1)
+        trainer = Trainer(engine, cfg, train_iter=batches(), val_iter=batches())
+        trainer._writer = mock.Mock()
+        state = trainer.init_state(tiny_params(engine))
+        out = trainer.validate(state, jax.random.PRNGKey(0), global_step=7)
+        assert set(out) == {"val/bpp0", "val/psnr0"}
+        scalar_tags = [c.args[0] for c in trainer._writer.add_scalar.call_args_list]
+        assert scalar_tags == ["bpp/num0", "psnr/num0"]
+        img_calls = trainer._writer.add_images.call_args_list
+        assert [c.args[0] for c in img_calls] == ["compressed/num0", "original/num0"]
+        for c in img_calls:
+            arr, step = c.args[1], c.args[2]
+            assert step == 7
+            assert arr.shape == (2, 3, 16, 16)  # NCHW pairs of the val batch
+            assert arr.min() >= 0.0 and arr.max() <= 1.0
+
     def test_lr_schedule_matches_reference_lambda(self):
         from cdc_compression_tpu.train import make_lr_schedule
 
@@ -131,6 +155,95 @@ class TestLPIPS:
         assert d_ab.shape == (2,)
         assert (np.asarray(d_aa) < 1e-6).all()
         assert (np.asarray(d_ab) > 0).all()
+
+    @staticmethod
+    def _synthetic_torch_lpips_state(seed=0):
+        """Torch-format (vgg16.features state_dict, lpips lin state_dict)
+        with the exact released shapes/keys, random He-scaled weights."""
+        import torch
+
+        rng = np.random.RandomState(seed)
+        plan = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+                (256, 256), (256, 256), (256, 512), (512, 512), (512, 512),
+                (512, 512), (512, 512), (512, 512)]
+        conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        vgg = {}
+        for idx, (cin, cout) in zip(conv_idx, plan):
+            std = np.float32(np.sqrt(2.0 / (cin * 9)))
+            vgg[f"{idx}.weight"] = torch.tensor(
+                (rng.randn(cout, cin, 3, 3) * std).astype(np.float32))
+            vgg[f"{idx}.bias"] = torch.tensor(
+                (rng.randn(cout) * 0.01).astype(np.float32))
+        lin = {}
+        for s, c in enumerate([64, 128, 256, 512, 512]):
+            lin[f"lin{s}.model.1.weight"] = torch.tensor(
+                rng.rand(1, c, 1, 1).astype(np.float32))
+        return vgg, lin
+
+    @staticmethod
+    def _torch_lpips_forward(vgg_state, lin_state, a_nchw, b_nchw):
+        """Reference lpips-0.1.4 math in raw torch (the package is not on
+        this box): scaling layer -> vgg16 features tapped at
+        relu{1_2,2_2,3_3,4_3,5_3} -> unit-normalize (eps outside sqrt) ->
+        squared diff -> 1x1 lin conv -> spatial mean -> sum over stages.
+        Spec: lpips/lpips.py in lpips==0.1.4 as used by the reference at
+        epsilonparam/modules/denoising_diffusion.py:44-47."""
+        import torch
+        import torch.nn.functional as F
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(x):
+            out = []
+            taps = {3, 8, 15, 22, 29}
+            pools = {4, 9, 16, 23}
+            for idx in range(30):
+                if idx in pools:
+                    x = F.max_pool2d(x, 2, 2)
+                elif f"{idx}.weight" in vgg_state:
+                    x = F.conv2d(x, vgg_state[f"{idx}.weight"],
+                                 vgg_state[f"{idx}.bias"], padding=1)
+                else:
+                    x = F.relu(x)
+                if idx in taps:
+                    out.append(x)
+            return out
+
+        def unit_norm(x):
+            return x / (torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True)) + 1e-10)
+
+        fa = feats((a_nchw - shift) / scale)
+        fb = feats((b_nchw - shift) / scale)
+        total = 0.0
+        for s, (xa, xb) in enumerate(zip(fa, fb)):
+            d = (unit_norm(xa) - unit_norm(xb)) ** 2
+            proj = F.conv2d(d, lin_state[f"lin{s}.model.1.weight"])
+            total = total + proj.mean(dim=(2, 3)).squeeze(1)
+        return total
+
+    def test_golden_vs_torch_math(self):
+        """convert_lpips_weights + the JAX LPIPS forward must reproduce
+        the torch lpips math on a synthetic full-shape state_dict."""
+        import torch
+
+        from cdc_compression_tpu.train.lpips import LPIPS, convert_lpips_weights
+
+        vgg_sd, lin_sd = self._synthetic_torch_lpips_state()
+        params = convert_lpips_weights(vgg_sd, lin_sd)
+
+        rng = np.random.RandomState(42)
+        a = (rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+        b = np.clip(a + rng.randn(2, 64, 64, 3).astype(np.float32) * 0.1, -1, 1)
+
+        want = self._torch_lpips_forward(
+            vgg_sd, lin_sd,
+            torch.tensor(a.transpose(0, 3, 1, 2)),
+            torch.tensor(b.transpose(0, 3, 1, 2)),
+        ).numpy()
+        got = np.asarray(LPIPS().apply(params, jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)
+        assert (want > 1e-4).all()  # non-degenerate distances
 
 
 class TestData:
