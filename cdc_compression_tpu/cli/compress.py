@@ -56,6 +56,24 @@ def load_params(args, engine):
     if args.ckpt is None:
         print("WARNING: no --ckpt, using random init")
         return init_params(engine, 0, (256, 256))
+    import os
+
+    if os.path.isdir(args.ckpt):
+        # Trainer orbax checkpoint dir ({model_name}_{idx}, or its `state`
+        # subdir). --use_ema picks the EMA param tree — the path the
+        # reference bootstraps distillation from (distill_trainer.py:100-108)
+        # and x-family inference uses (test_xparam.py:66-68).
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.ckpt)
+        if os.path.isdir(os.path.join(path, "state")):
+            path = os.path.join(path, "state")
+        payload = ocp.StandardCheckpointer().restore(path)
+        if args.use_ema:
+            if "ema" not in payload:
+                raise ValueError(f"--use_ema set but checkpoint {args.ckpt} has no EMA tree")
+            return payload["ema"]["params"]
+        return payload["params"]
     if args.ckpt.endswith(".pt") or args.ckpt.endswith(".pth"):
         import torch
 

@@ -16,7 +16,11 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--ckpt", required=True,
+                   help=".pt/.pth (converted), .npz, or a Trainer orbax dir; "
+                        "--use_ema bootstraps the teacher from the EMA tree "
+                        "(reference distill_trainer.py:100-108)")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--data_path", required=True)
     p.add_argument("--dataset", default="vimeo")
@@ -37,7 +41,7 @@ def main(argv=None):
     from .compress import load_params
 
     fam = epsilon_family if args.family == "epsilon" else x_family
-    engine = fam(aux_loss_weight=0.0)
+    engine = fam(dim=args.dim, aux_loss_weight=0.0)
 
     class A:
         ckpt = args.ckpt

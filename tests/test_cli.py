@@ -103,6 +103,58 @@ class TestTrainCLI:
         assert any(p.is_file() for p in ckpts), f"no checkpoint written: {ckpts}"
 
 
+class TestDistillCLI:
+    def test_distill_from_ema_orbax_checkpoint(self, img_dir, tmp_path):
+        """Bootstrap the distillation teacher from a Trainer EMA orbax
+        checkpoint (the reference's distill_trainer.py:100-108 key-rename
+        path, done natively here): train 2 EMA steps, save, distill one
+        round through the CLI, and check the student actually moved."""
+        import jax
+        import numpy as np
+
+        from cdc_compression_tpu.cli.distill import main as distill_main
+        from cdc_compression_tpu.train import TrainConfig, Trainer
+        from cdc_compression_tpu.train.ema import EMAConfig
+        from cdc_compression_tpu.utils.presets import epsilon_family, init_params
+
+        engine = epsilon_family(dim=16, aux_loss_weight=0.0)
+        cfg = TrainConfig(use_ema=True,
+                          ema=EMAConfig(update_after_step=0, update_every=1),
+                          results_dir=str(tmp_path / "results"))
+        trainer = Trainer(engine, cfg, train_iter=None)
+        state = trainer.init_state(init_params(engine, 0, image_hw=(64, 64)))
+        batch = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+        for i in range(2):
+            state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+        trainer.save(state)
+        ckpt_dir = tmp_path / "results" / "model_0"
+        assert ckpt_dir.is_dir()
+
+        out = tmp_path / "distilled.npz"
+        distill_main([
+            "--family", "epsilon", "--dim", "16", "--use_ema",
+            "--ckpt", str(ckpt_dir), "--data_path", str(img_dir),
+            "--dataset", "img", "--img_size", "64", "--batch_size", "1",
+            "--kiter", "1", "--steps_per_round", "2", "--out", str(out),
+        ])
+        assert out.exists()
+        got = np.load(out, allow_pickle=True)["params"].item()
+        teacher_ema = state.ema.params
+        leaves_got = jax.tree.leaves(got["unet"])
+        leaves_ema = jax.tree.leaves(teacher_ema["unet"])
+        assert all(np.isfinite(np.asarray(a)).all() for a in leaves_got)
+        # student was trained from the EMA teacher: same structure, moved values
+        assert len(leaves_got) == len(leaves_ema)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_got, leaves_ema)
+        )
+        # the frozen context model must ride through unchanged from the EMA tree
+        for a, b in zip(jax.tree.leaves(got["compressor"]),
+                        jax.tree.leaves(teacher_ema["compressor"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestConvertCLI:
     @pytest.mark.golden
     def test_convert_then_compress(self, reference_modules, img_dir, tmp_path):
