@@ -286,10 +286,21 @@ class GaussianDiffusion:
         eta: float = 0.0,
         clip_denoised=None,
         compute_dtype=None,
+        batch_serial: Optional[bool] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Encode + decode in one jittable call (denoising_diffusion.py:194-215).
 
-        `images` NHWC in [-1, 1]. Returns (decoded, bpp)."""
+        `images` NHWC in [-1, 1]. Returns (decoded, bpp).
+
+        batch_serial: decode the batch one image at a time via `lax.map`
+        (encode stays batched). On TPU the B=1 conv lowering is the
+        efficient one — B>1 inflates device work 13-26% per pixel at
+        768x512 (PERF.md "mode batch") — so serial decode inside the one
+        compiled program recovers per-image speed for batched serving.
+        Default None = auto: on for the bf16 path when it is exact (DDIM,
+        eta=0, no batch-coupled "half" clip), off otherwise. With eta>0,
+        serial mode draws per-image noise keys, so trajectories differ
+        from the batched lowering's (both are valid samples)."""
         cfg = self.cfg
         H, W = images.shape[1:3]
         # divisibility: compressor strides (enc + hyper) and U-Net strides
@@ -342,6 +353,36 @@ class GaussianDiffusion:
         if clip_denoised is None:
             # ε-family uses its configured clip mode; x-family clips fully
             clip_denoised = cfg.clip_noise if cfg.pred_mode == "noise" else True
+        B = images.shape[0]
+        if batch_serial is None:
+            batch_serial = (
+                compute_dtype is not None
+                and B > 1
+                and sample_mode == "ddim"
+                and eta == 0.0
+                and clip_denoised != "half"
+            )
+        if batch_serial and B > 1:
+            keys = jax.random.split(rng, B)
+            init_b = jnp.zeros(images.shape, jnp.float32) if init is None else init
+
+            def _decode_one(args):
+                ctx_i, init_i, key = args
+                return self.p_sample_loop(
+                    params,
+                    (1, *images.shape[1:]),
+                    [c[None] for c in ctx_i],
+                    sched,
+                    key,
+                    sample_mode=sample_mode,
+                    clip_denoised=clip_denoised,
+                    init=init_i[None],
+                    eta=eta,
+                    compute_dtype=compute_dtype,
+                )[0]
+
+            decoded = jax.lax.map(_decode_one, (tuple(context), init_b, keys))
+            return decoded, (bpp.mean() if bpp_return_mean else bpp)
         decoded = self.p_sample_loop(
             params,
             images.shape,

@@ -437,22 +437,37 @@ class LinearAttention(nn.Module):
             assert self.heads == 1 and dh == c, "folded attention: 1 head, dh == c"
             return self._folded_attention(x, to_qkv, to_out, c, scale)
         if x.dtype == jnp.bfloat16 and self.heads == 1 and dh == c:
-            # decode fast path: flat GEMMs (the 1x1-conv form makes XLA
-            # relayout the qkv tensor at 768x512 — ~0.6 ms/step of pure
-            # copies); flatten/unflatten here are layout bitcasts
+            # decode fast path. Two structural changes vs the textbook
+            # lowering, both exact:
+            # (1) flat GEMMs instead of 1x1 convs (the conv form makes XLA
+            #     relayout the projections at 768x512 — pure copies);
+            # (2) single-head linear attention is LINEAR in q after the KV
+            #     summary:  out = to_out(q @ ctx) = xn @ (scale·Wq·ctx·Wo)
+            #     + b_o,  so the q projection, the O(N·d²) out-einsum and
+            #     the out projection collapse into ONE (c,c) matrix per
+            #     image — the N-sized stream is touched by a single GEMM.
+            #     Measured: kills ~0.8 ms/step of qkv slice/copy relayouts
+            #     plus two N-wide dots at level 0 of the 768x512 decode.
             wq, _ = to_qkv(x, params_only=True)
             wo, bo = to_out(x, params_only=True)
+            wq3 = wq.reshape(c, 3 * hidden)
             xf = x.reshape(b, h * w, c)
-            qkv = xf @ wq.reshape(c, 3 * hidden).astype(x.dtype)
-            q = qkv[..., :hidden] * scale
-            k32 = qkv[..., hidden : 2 * hidden].astype(jnp.float32)
-            v = qkv[..., 2 * hidden :]
-            kmax = jnp.max(k32, axis=1, keepdims=True)
-            kexp = jnp.exp(k32 - kmax)
+            kv = xf @ wq3[:, hidden:].astype(x.dtype)  # (b, N, 2c): k and v only
+            k = kv[..., :hidden]
+            v = kv[..., hidden:]
+            # max of the bf16 k equals the max of its f32 upcast — keep the
+            # reduce on bf16 bytes, upcast inside the exp fusion
+            kmax = jnp.max(k, axis=1, keepdims=True).astype(jnp.float32)
+            kexp = jnp.exp(k.astype(jnp.float32) - kmax)
             kn = (kexp / jnp.sum(kexp, axis=1, keepdims=True)).astype(x.dtype)
             ctx = jnp.einsum("bnd,bne->bde", kn, v)
-            out = jnp.einsum("bnd,bde->bne", q, ctx)
-            out = out @ wo.reshape(hidden, c).astype(x.dtype) + bo.astype(x.dtype)
+            m = jnp.einsum(
+                "df,bfe,eg->bdg",
+                scale * wq3[:, :hidden].astype(jnp.float32),
+                ctx.astype(jnp.float32),
+                wo.reshape(hidden, c),
+            )
+            out = jnp.einsum("bnd,bdg->bng", xf, m.astype(x.dtype)) + bo.astype(x.dtype)
             return out.reshape(b, h, w, c)
         qkv = to_qkv(x)
         # keep H,W unflattened: under spatial (tile) sharding the softmax
@@ -486,24 +501,31 @@ class LinearAttention(nn.Module):
         wq, _ = to_qkv(x, params_only=True, folded=True)
         wo, bo = to_out(x, params_only=True, folded=True)
         wq = wq.reshape(c, 3 * c)
-        blocks = [folding.blockdiag2(wq[:, i * c : (i + 1) * c]) for i in range(3)]
-        wq_f = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # (2c, 6c)
+        blocks = [folding.blockdiag2(wq[:, i * c : (i + 1) * c]) for i in range(1, 3)]
+        wkv_f = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # (2c, 4c): k, v
         xf = x.reshape(b, h * w2, c2)
-        qkv = xf @ wq_f
-        q = qkv[..., : 2 * c] * scale
-        k32 = qkv[..., 2 * c : 4 * c].astype(jnp.float32)
-        v = qkv[..., 4 * c :]
-        kmax = jnp.max(k32, axis=1, keepdims=True)  # (b, 1, 2c)
+        kv = xf @ wkv_f
+        k = kv[..., : 2 * c]
+        v = kv[..., 2 * c :]
+        kmax = jnp.max(k, axis=1, keepdims=True).astype(jnp.float32)  # (b, 1, 2c)
         kmax = folding.tile2(jnp.maximum(kmax[..., :c], kmax[..., c:]))
-        kexp = jnp.exp(k32 - kmax)
+        kexp = jnp.exp(k.astype(jnp.float32) - kmax)
         z = jnp.sum(kexp, axis=1, keepdims=True)
         z = folding.tile2(z[..., :c] + z[..., c:])
         kn = (kexp / z).astype(x.dtype)
         big = jnp.einsum("bnd,bne->bde", kn, v)  # (b, 2c, 2c)
         ctx = big[:, :c, :c] + big[:, c:, c:]  # exact unfolded KV summary
-        m = jnp.einsum("bde,ef->bdf", ctx, wo.reshape(c, c).astype(x.dtype))
-        m_f = jax.vmap(folding.blockdiag2)(m)  # (b, 2c, 2c)
-        out = jnp.einsum("bnd,bdf->bnf", q, m_f) + folding.tile2(bo).astype(x.dtype)
+        # out = q @ (ctx·Wo) + b_o is linear in q = scale·xn@Wq — collapse
+        # the whole output side into one (c,c) matrix (see the unfolded
+        # fast path), block-diagonalized for the folded stream
+        m = jnp.einsum(
+            "df,bfe,eg->bdg",
+            scale * wq[:, :c].astype(jnp.float32),
+            ctx.astype(jnp.float32),
+            wo.reshape(c, c),
+        )
+        m_f = jax.vmap(folding.blockdiag2)(m.astype(x.dtype))  # (b, 2c, 2c)
+        out = jnp.einsum("bnd,bdf->bnf", xf, m_f) + folding.tile2(bo).astype(x.dtype)
         return out.reshape(b, h, w2, c2)
 
 

@@ -79,7 +79,7 @@ _FOLD_L0 = None  # None = auto (per-model), True/False = forced
 _FOLD_UP = False
 _FOLD_HEAD = True
 
-# auto rule: fold the down-level-0 stage when its входной channel count
+# auto rule: fold the down-level-0 stage when its input channel count
 # (image + context channels) is at least this — the stage fold's fixed
 # LayerNorm tax (~1.65 ms/step at 768x512) is paid off by the entry
 # conv's FLOPs, which scale with cin. Measured: ε-family (cin 6) loses

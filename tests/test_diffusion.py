@@ -97,6 +97,28 @@ class TestSamplingLoop:
         d2, _ = eng.compress(params, x, sample_steps=3, rng=jax.random.PRNGKey(1), eta=1.0)
         assert np.abs(np.asarray(d1) - np.asarray(d2)).max() > 1e-6
 
+    def test_batch_serial_matches_per_image_decode(self):
+        """`batch_serial` (lax.map over images — the TPU batched-serving
+        path, PERF.md "mode batch") must be bit-identical to decoding
+        each image alone: the map body IS the B=1 program."""
+        eng = tiny_engine()
+        params = tiny_params(eng)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (3, 16, 16, 3), minval=-1, maxval=1)
+        init = jax.random.normal(jax.random.PRNGKey(7), x.shape) * 0.8
+        rng = jax.random.PRNGKey(0)
+        got, bpp_s = eng.compress(params, x, sample_steps=2, rng=rng, init=init,
+                                  batch_serial=True)
+        want = np.stack([
+            np.asarray(eng.compress(params, x[i:i+1], sample_steps=2, rng=rng,
+                                    init=init[i:i+1], batch_serial=False)[0][0])
+            for i in range(3)
+        ])
+        np.testing.assert_array_equal(np.asarray(got), want)
+        # and bpp (batched encode) is unaffected by the decode strategy
+        _, bpp_b = eng.compress(params, x, sample_steps=2, rng=rng, init=init,
+                                batch_serial=False)
+        np.testing.assert_array_equal(np.asarray(bpp_s), np.asarray(bpp_b))
+
     def test_ddpm_mode_runs(self):
         eng = tiny_engine()
         params = tiny_params(eng)

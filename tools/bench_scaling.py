@@ -59,21 +59,28 @@ def mode_batch(steps: int, sizes) -> None:
         )
         init = jax.random.normal(rng, x.shape) * 0.8
 
-        @jax.jit
-        def decode(im):
-            dec, _ = engine.compress(
-                params, im, sample_steps=steps, rng=rng, init=init,
-                compute_dtype=jnp.bfloat16,
-            )
-            return jnp.clip(dec, -1.0, 1.0)
+        # serial=True is compress()'s auto default on the bf16 path: the
+        # B=1 conv lowering is the efficient one on TPU, so the batch is
+        # decoded image-at-a-time inside one compiled program (lax.map).
+        # serial=False forces the monolithic batched lowering for
+        # comparison (13-26% more device work per pixel — PERF.md).
+        for serial in ([True] if b == 1 else [True, False]):
+            @jax.jit
+            def decode(im):
+                dec, _ = engine.compress(
+                    params, im, sample_steps=steps, rng=rng, init=init,
+                    compute_dtype=jnp.bfloat16, batch_serial=serial,
+                )
+                return jnp.clip(dec, -1.0, 1.0)
 
-        dt = _chain_bench(decode, x)
-        print(json.dumps({
-            "mode": "batch", "batch": b, "hw": [H, W], "steps": steps,
-            "images_per_s": round(b / dt, 3),
-            "denoise_steps_per_s": round(b * steps / dt, 1),
-            "ms_per_image": round(dt / b * 1000, 2),
-        }), flush=True)
+            dt = _chain_bench(decode, x)
+            print(json.dumps({
+                "mode": "batch", "batch": b, "hw": [H, W], "steps": steps,
+                "serial": serial,
+                "images_per_s": round(b / dt, 3),
+                "denoise_steps_per_s": round(b * steps / dt, 1),
+                "ms_per_image": round(dt / b * 1000, 2),
+            }), flush=True)
 
 
 def mode_tile(steps: int, n_devices: int) -> None:

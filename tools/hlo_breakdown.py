@@ -85,6 +85,10 @@ def _main():
     p.add_argument("--loops", type=int, default=3)
     p.add_argument("--hw", type=int, nargs=2, default=(512, 768))
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--fold_l0", choices=["auto", "on", "off"], default="auto",
+                   help="force the down-level-0 width fold (ops.folding)")
+    p.add_argument("--fold_up", action="store_true",
+                   help="fold the last up stage too")
     args = p.parse_args()
 
     import sys
@@ -97,8 +101,13 @@ def _main():
     import jax.numpy as jnp
     import numpy as np
 
+    from cdc_compression_tpu.ops import folding
     from cdc_compression_tpu.utils.presets import epsilon_family, init_params, x_family
 
+    if args.fold_l0 != "auto":
+        folding.enable_fold_l0(args.fold_l0 == "on")
+    if args.fold_up:
+        folding.enable_fold_up(True)
     H, W = args.hw
     if args.train:
         from cdc_compression_tpu.train.trainer import TrainConfig, Trainer
