@@ -96,7 +96,18 @@ class Unet(nn.Module):
             # than the down path appends), so this unfold is DCE'd
             h.append(folding.unfold2(x) if folded else x)
             if not is_last:
-                x = Downsample(dim_out, name=f"down_{ind}_downsample")(x, folded=folded)
+                # optional input-only fold: fold2 right before the stride-2
+                # conv (exits unfolded — no folded LN anywhere), running the
+                # downsample lane-dense without the stage fold's LN tax
+                fold_in = (
+                    not folded
+                    and foldable
+                    and folding.fold_downsample_active()
+                    and x.shape[2] % 2 == 0
+                )
+                x = Downsample(dim_out, name=f"down_{ind}_downsample")(
+                    folding.fold2(x) if fold_in else x, folded=folded or fold_in
+                )
 
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, time_emb_dim=time_dim, name="mid_block1")(x, t)

@@ -78,6 +78,9 @@ import jax.numpy as jnp
 _FOLD_L0 = None  # None = auto (per-model), True/False = forced
 _FOLD_UP = False
 _FOLD_HEAD = True
+# downsample-input fold: measured −0.40 ms/step on the ε-family 768x512
+# 17-step bf16 decode (15.12 -> 14.72, device self-time) — see PERF.md
+_FOLD_DOWNSAMPLE = True
 
 # auto rule: fold the down-level-0 stage when its input channel count
 # (image + context channels) is at least this — the stage fold's fixed
@@ -113,6 +116,20 @@ def enable_fold_up(on: bool) -> None:
 
 def fold_up_active() -> bool:
     return _FOLD_UP
+
+
+def enable_fold_downsample(on: bool) -> None:
+    """Toggle width-folding of Downsample *inputs* only: `fold2` the map
+    right before the stride-2 conv and use the folded downsample kernel
+    (which emits the next level's unfolded map). Unlike the stage folds
+    this creates no folded LayerNorm — the fold lives entirely inside
+    the conv — so it is pure conv-efficiency upside when it wins."""
+    global _FOLD_DOWNSAMPLE
+    _FOLD_DOWNSAMPLE = bool(on)
+
+
+def fold_downsample_active() -> bool:
+    return _FOLD_DOWNSAMPLE
 
 
 def enable_fold_head(on: bool) -> None:

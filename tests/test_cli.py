@@ -157,6 +157,61 @@ class TestDistillCLI:
 
 class TestConvertCLI:
     @pytest.mark.golden
+    def test_released_key_inventory(self, reference_modules):
+        """convert_diffusion_checkpoint against the exact key inventories
+        the released checkpoints carry (SURVEY §2.7 / test_epsilonparam.py:22):
+
+        * ε: flat GaussianDiffusion state_dict with `train_*` schedule
+          buffers and `loss_fn_vgg.*` LPIPS weights baked in;
+        * x: ema_pytorch.EMA state_dict — `ema_model.*` + `online_model.*`
+          + `initted`/`step` bookkeeping — where inference must use the
+          EMA weights (xparam/test_xparam.py:66-68).
+        """
+        import jax
+        import torch
+
+        from cdc_compression_tpu.utils import convert
+
+        ref = reference_modules
+        torch.manual_seed(3)
+        unet = ref.unet.Unet(dim=8, channels=3, context_channels=3,
+                             dim_mults=(1, 2), context_dim_mults=(1,))
+        comp = ref.cm.BigCompressor(dim=8, dim_mults=(1, 2), hyper_dims_mults=(4, 4),
+                                    channels=3, out_channels=3, vbr=False)
+        base = {}
+        for k, v in unet.state_dict().items():
+            base[f"denoise_fn.{k}"] = v
+        for k, v in comp.state_dict().items():
+            base[f"context_fn.{k}"] = v
+        noise = {
+            "train_betas": torch.rand(7),
+            "train_alphas_cumprod": torch.rand(7),
+            "train_sqrt_alphas_cumprod": torch.rand(7),
+            "loss_fn_vgg.scaling_layer.shift": torch.rand(1, 3, 1, 1),
+            "loss_fn_vgg.net.slice1.0.weight": torch.rand(4, 3, 3, 3),
+            "loss_fn_vgg.lin0.model.1.weight": torch.rand(1, 4, 1, 1),
+        }
+        want = convert.convert_diffusion_checkpoint(base, n_levels=2, n_enc=2)
+
+        # ε flat checkpoint: noise keys must be ignored, weights unchanged
+        got = convert.convert_diffusion_checkpoint({**base, **noise}, n_levels=2, n_enc=2)
+        for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # x EMA checkpoint: EMA weights win over the online model's
+        ema_sd = {}
+        for k, v in base.items():
+            ema_sd[f"ema_model.{k}"] = v
+            ema_sd[f"online_model.{k}"] = v * 2.0 + 1.0  # decoy
+        for k, v in noise.items():
+            ema_sd[f"ema_model.{k}"] = v
+        ema_sd["initted"] = torch.tensor(True)
+        ema_sd["step"] = torch.tensor(123)
+        got_ema = convert.convert_diffusion_checkpoint(ema_sd, n_levels=2, n_enc=2)
+        for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got_ema)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.golden
     def test_convert_then_compress(self, reference_modules, img_dir, tmp_path):
         """Build a reference-shaped ε checkpoint, convert it via the CLI,
         and decode with it through cli.compress --ckpt."""

@@ -191,6 +191,26 @@ class TestFoldedUnet:
         scale = np.abs(np.asarray(y_ref, np.float32)).max()
         assert d < 0.05 * max(1.0, scale), (d, scale)
 
+    def test_bf16_folded_downsample_close_to_unfolded(self):
+        """Input-only Downsample folding (fold2 before the stride-2 conv,
+        unfolded exit — no folded LN anywhere) matches the direct path."""
+        unet, params, x, t, ctx = self._setup()
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        args16 = (x.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+                  [c.astype(jnp.bfloat16) for c in ctx])
+        try:
+            self._set_all(False)
+            folding.enable_fold_downsample(False)
+            y_ref = unet.apply(p16, *args16)
+            folding.enable_fold_downsample(True)
+            y_fold = unet.apply(p16, *args16)
+        finally:
+            folding.enable_fold_downsample(True)  # measured-win default
+            self._restore_defaults()
+        d = np.abs(np.asarray(y_fold, np.float32) - np.asarray(y_ref, np.float32)).max()
+        scale = np.abs(np.asarray(y_ref, np.float32)).max()
+        assert d < 0.05 * max(1.0, scale), (d, scale)
+
     def test_fp32_path_not_folded(self):
         """fp32 keeps the direct lowering (golden parity) whatever the toggles."""
         unet, params, x, t, ctx = self._setup()

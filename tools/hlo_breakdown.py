@@ -89,6 +89,8 @@ def _main():
                    help="force the down-level-0 width fold (ops.folding)")
     p.add_argument("--fold_up", action="store_true",
                    help="fold the last up stage too")
+    p.add_argument("--fold_downsample", choices=["on", "off"], default="on",
+                   help="fold Downsample inputs (default on — measured win)")
     args = p.parse_args()
 
     import sys
@@ -108,6 +110,7 @@ def _main():
         folding.enable_fold_l0(args.fold_l0 == "on")
     if args.fold_up:
         folding.enable_fold_up(True)
+    folding.enable_fold_downsample(args.fold_downsample == "on")
     H, W = args.hw
     if args.train:
         from cdc_compression_tpu.train.trainer import TrainConfig, Trainer
