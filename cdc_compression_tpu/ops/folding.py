@@ -90,20 +90,30 @@ _FOLD_DOWNSAMPLE = True
 # 18.45) because its 7x7 165-GFLOP entry conv runs at 125 vs 39 TFLOP/s.
 FOLD_L0_AUTO_MIN_CIN = 32
 
+# second auto rule (round 2): fold the ε-family's narrow-cin level 0 too
+# once the full-resolution map is large. The unfolded level-0 conv
+# windowing copies grow FASTER than linearly with resolution (768x512:
+# ~0.275 ms/conv; 1536x2048: ~1.9 ms/conv — 8x pixels, ~14x copy cost),
+# while the folded-LN tax stays linear, so the stage fold flips from
+# +0.6 ms/step at 768x512 to −7.7 ms/step at 2K (measured, PERF.md).
+FOLD_L0_AUTO_MIN_PIXELS = 2 << 20  # ~2 Mpx: the 2K/4K high-res regime
+
 
 def enable_fold_l0(on) -> None:
     """Force the folded down-level-0 U-Net stage on/off (bf16 path), or
     pass None to restore the auto rule (fold iff the level-0 input has
-    >= FOLD_L0_AUTO_MIN_CIN channels — see the measured table above)."""
+    >= FOLD_L0_AUTO_MIN_CIN channels, or the full-resolution map has
+    >= FOLD_L0_AUTO_MIN_PIXELS pixels — see the measured tables above)."""
     global _FOLD_L0
     _FOLD_L0 = None if on is None else bool(on)
 
 
-def fold_l0_active(l0_cin: int = 0) -> bool:
+def fold_l0_active(l0_cin: int = 0, l0_pixels: int = 0) -> bool:
     """Whether to fold the down-level-0 stage for a model whose level-0
-    input (image + concatenated context) has `l0_cin` channels."""
+    input (image + concatenated context) has `l0_cin` channels and
+    `l0_pixels` (= H*W) pixels."""
     if _FOLD_L0 is None:
-        return l0_cin >= FOLD_L0_AUTO_MIN_CIN
+        return l0_cin >= FOLD_L0_AUTO_MIN_CIN or l0_pixels >= FOLD_L0_AUTO_MIN_PIXELS
     return _FOLD_L0
 
 

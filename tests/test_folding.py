@@ -228,6 +228,10 @@ class TestFoldedUnet:
         level-0 input, on for the x-family's 67-channel one."""
         assert not folding.fold_l0_active(6)
         assert folding.fold_l0_active(67)
+        # high-res second rule: narrow-cin level 0 folds once the map is
+        # >= ~2 Mpx (the windowing-copy cost grows super-linearly there)
+        assert not folding.fold_l0_active(6, 768 * 512)
+        assert folding.fold_l0_active(6, 2048 * 1536)
         folding.enable_fold_l0(False)
         try:
             assert not folding.fold_l0_active(67)
