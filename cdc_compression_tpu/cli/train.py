@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     # data
     p.add_argument("--dataset", default="vimeo")
     p.add_argument("--data_path", required=True)
+    p.add_argument("--hflip", action="store_true",
+                   help="random horizontal flip on the train crop stack")
     p.add_argument("--val_dataset", default=None)
     p.add_argument("--val_data_path", default=None)
     p.add_argument("--n_workers", type=int, default=4)
@@ -142,7 +144,8 @@ def main(argv=None):
         )
 
     host_id, num_hosts = jax.process_index(), jax.process_count()
-    train_ds = load_dataset(args.dataset, args.data_path, train=True, img_size=args.img_size)
+    train_ds = load_dataset(args.dataset, args.data_path, train=True,
+                            img_size=args.img_size, hflip=args.hflip)
     train_iter = iter(
         Loader(train_ds, args.batch_size, num_workers=args.n_workers,
                host_id=host_id, num_hosts=num_hosts)

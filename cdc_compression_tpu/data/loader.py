@@ -47,7 +47,13 @@ class Loader:
         idx = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
-        return idx[self.host_id :: self.num_hosts]
+        idx = idx[self.host_id :: self.num_hosts]
+        if self.shuffle and 0 < len(idx) < self.batch_size:
+            # tiny datasets (e.g. the 3-image Kodak subset on this box):
+            # sample with repetition up to one full batch — per-item crop
+            # rngs still differ, so the repeated entries are distinct crops
+            idx = np.resize(idx, self.batch_size)
+        return idx
 
     def __iter__(self) -> Iterator[np.ndarray]:
         epoch = 0

@@ -300,8 +300,21 @@ class GaussianDiffusion:
         Default None = auto: on for the bf16 path when it is exact (DDIM,
         eta=0, no batch-coupled "half" clip), off otherwise. With eta>0,
         serial mode draws per-image noise keys, so trajectories differ
-        from the batched lowering's (both are valid samples)."""
+        from the batched lowering's (both are valid samples).
+        clip_denoised="half" couples images within the batch (the clip
+        mask is arange(b) < b//2), so it is incompatible with serial
+        decode (B=1 bodies would clip nothing) — explicitly requesting
+        both raises. Latent (AE) mode always decodes batched;
+        batch_serial=True raises there too."""
         cfg = self.cfg
+        if batch_serial and clip_denoised == "half":
+            raise ValueError(
+                "batch_serial decode is incompatible with the batch-coupled "
+                "clip_denoised='half' mode (each lax.map body runs B=1, so "
+                "b//2 == 0 would clip nothing)"
+            )
+        if batch_serial and self.ae is not None:
+            raise ValueError("batch_serial decode is not supported in latent (AE) mode")
         H, W = images.shape[1:3]
         # divisibility: compressor strides (enc + hyper) and U-Net strides
         comp, unet = self.compressor, self.unet
@@ -355,8 +368,10 @@ class GaussianDiffusion:
             clip_denoised = cfg.clip_noise if cfg.pred_mode == "noise" else True
         B = images.shape[0]
         if batch_serial is None:
+            # auto rule is deliberately bf16-only: the fp32 batched
+            # lowering is the golden-parity path and must stay bit-stable
             batch_serial = (
-                compute_dtype is not None
+                compute_dtype == jnp.bfloat16
                 and B > 1
                 and sample_mode == "ddim"
                 and eta == 0.0

@@ -159,6 +159,9 @@ class Trainer:
         cfg = self.cfg
         n = cfg.n_steps if num_steps is None else num_steps
         step0 = int(state.step)
+        import time
+
+        t_last, i_last = time.perf_counter(), step0
         for i in range(step0, step0 + n):
             batch = next(self.train_iter)
             rng, sub = jax.random.split(rng)
@@ -166,6 +169,16 @@ class Trainer:
             if self._writer is not None and i % 50 == 0:
                 for k, v in metrics.items():
                     self._writer.add_scalar(k, float(v), i)
+            if i % 500 == 0:
+                now = time.perf_counter()
+                rate = (i - i_last) / max(now - t_last, 1e-9)
+                t_last, i_last = now, i
+                print(
+                    f"step {i}: " +
+                    " ".join(f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())) +
+                    (f" [{rate:.1f} steps/s]" if i > step0 else ""),
+                    flush=True,
+                )
             if i % cfg.save_every == 0 and i > step0:
                 self.validate(state, rng, global_step=i)
                 self.save(state)

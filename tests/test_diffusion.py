@@ -119,6 +119,32 @@ class TestSamplingLoop:
                                 batch_serial=False)
         np.testing.assert_array_equal(np.asarray(bpp_s), np.asarray(bpp_b))
 
+    def test_batch_serial_guards(self):
+        """Explicit batch_serial=True must raise with the batch-coupled
+        'half' clip (each B=1 map body would clip nothing) and in latent
+        mode (decode is always batched there) — advisor round-2 items."""
+        eng = tiny_engine()
+        params = tiny_params(eng)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3), minval=-1, maxval=1)
+        with pytest.raises(ValueError, match="half"):
+            eng.compress(params, x, sample_steps=2, rng=jax.random.PRNGKey(0),
+                         batch_serial=True, clip_denoised="half")
+
+    def test_batch_serial_auto_rule_is_bf16_only(self):
+        """compute_dtype=float32 must NOT auto-enable serial decode: the
+        fp32 batched lowering is the golden-parity path (advisor item).
+        Explicit fp32 compute must be bit-identical to the default path."""
+        eng = tiny_engine()
+        params = tiny_params(eng)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3), minval=-1, maxval=1)
+        init = jax.random.normal(jax.random.PRNGKey(7), x.shape) * 0.8
+        rng = jax.random.PRNGKey(0)
+        d_auto, _ = eng.compress(params, x, sample_steps=2, rng=rng, init=init,
+                                 compute_dtype=jnp.float32)
+        d_batched, _ = eng.compress(params, x, sample_steps=2, rng=rng, init=init,
+                                    compute_dtype=jnp.float32, batch_serial=False)
+        np.testing.assert_array_equal(np.asarray(d_auto), np.asarray(d_batched))
+
     def test_ddpm_mode_runs(self):
         eng = tiny_engine()
         params = tiny_params(eng)

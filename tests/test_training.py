@@ -343,6 +343,27 @@ class TestData:
         vals1 = {int(round(float(b[0, 0, 0, 0]) * 255)) for b, _ in zip(iter(l1), range(4))}
         assert vals0.isdisjoint(vals1)
 
+    def test_loader_dataset_smaller_than_batch(self, tmp_path):
+        """A shuffled dataset smaller than one batch is resampled with
+        repetition up to a full batch (the 3-image Kodak subset on this
+        box trains at batch 4); per-item crop rngs keep repeats distinct."""
+        from PIL import Image
+
+        from cdc_compression_tpu.data import ImageFolderDataset, Loader, RandomCrop
+
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            Image.fromarray(
+                (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / f"img_{i}.png")
+        ds = ImageFolderDataset(str(tmp_path), transforms=[RandomCrop(16)])
+        it = iter(Loader(ds, batch_size=4, num_workers=1, seed=1))
+        b1, b2 = next(it), next(it)
+        assert b1.shape == (4, 16, 16, 3) and b2.shape == (4, 16, 16, 3)
+        # unshuffled loaders keep the strict too-small error
+        with pytest.raises(RuntimeError, match="smaller than one batch"):
+            next(iter(Loader(ds, batch_size=4, shuffle=False)))
+
     def test_pad_to_multiple(self):
         from cdc_compression_tpu.data import PadToMultiple
 
