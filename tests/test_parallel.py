@@ -227,6 +227,146 @@ print(json.dumps(info))
             assert info["process_index"] == i
             assert info["global_devices"] == 2 * info["local_devices"]
 
+    _TRAIN_WORKER = '''
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax.numpy as jnp
+from cdc_compression_tpu.parallel.distributed import setup_distributed
+
+info = setup_distributed(coordinator_address={addr!r}, num_processes=2,
+                         process_id=int(sys.argv[1]), initialization_timeout=120)
+assert info["global_devices"] == 8, info
+
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from cdc_compression_tpu import models
+from cdc_compression_tpu.diffusion import DiffusionConfig, GaussianDiffusion
+from cdc_compression_tpu.parallel import make_mesh
+
+unet = models.Unet(dim=8, dim_mults=(1, 2), context_dim_mults=(1,),
+                   channels=3, context_channels=3)
+comp = models.BigCompressor(dim=8, dim_mults=(1,), hyper_dims_mults=(1,),
+                            channels=3, out_channels=3)
+cfg = DiffusionConfig(num_timesteps=32, var_schedule="linear", pred_mode="noise",
+                      loss_type="l2", clip_noise="none")
+engine = GaussianDiffusion(unet, comp, cfg)
+
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+x0 = jnp.zeros((1, 32, 32, 3))
+comp_p = comp.init(k2, x0)
+ctx = comp.apply(comp_p, x0)["output"]
+params = {{"unet": unet.init(k1, x0, jnp.zeros((1, 1)), ctx), "compressor": comp_p}}
+
+mesh = make_mesh(data=8, tile=1)
+repl = NamedSharding(mesh, P())
+data_sh = NamedSharding(mesh, P("data"))
+
+def to_global(tree, sh):
+    return jax.tree.map(
+        lambda a: jax.make_array_from_callback(
+            np.shape(a), sh, lambda idx, _a=np.asarray(a): _a[idx]), tree)
+
+opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+params = to_global(params, repl)
+opt_state = to_global(jax.tree.map(np.asarray, opt.init(
+    jax.tree.map(np.asarray, params))), repl)
+
+batch = np.random.RandomState(1).rand(8, 32, 32, 3).astype(np.float32)
+batch = to_global(batch, data_sh)
+rng = to_global(np.asarray(jax.random.PRNGKey(4)), repl)
+
+def step(p, s, b, r):
+    imgs = b * 2.0 - 1.0
+    (loss, m), g = jax.value_and_grad(lambda q: engine.loss(q, imgs, r),
+                                      has_aux=True)(p)
+    u, s = opt.update(g, s, p)
+    return optax.apply_updates(p, u), s, loss
+
+jstep = jax.jit(step, in_shardings=(repl, repl, data_sh, repl),
+                out_shardings=(repl, repl, None))
+losses = []
+for _ in range(2):
+    params, opt_state, loss = jstep(params, opt_state, batch, rng)
+    losses.append(float(loss))
+leaves = jax.tree.leaves(params)
+checksum = float(sum(np.float64(np.abs(np.asarray(l.addressable_data(0)))).sum()
+                     for l in leaves))
+print(json.dumps({{"losses": losses, "checksum": checksum,
+                   "n_leaves": len(leaves)}}))
+'''
+
+    @pytest.mark.slow
+    def test_two_process_train_step_matches_single_process(self, tmp_path):
+        """The multi-host capability claim, proven: two CPU processes (4
+        virtual devices each) run the jitted DP train step over the global
+        8-device mesh via jax.distributed + pjit; both must agree with each
+        other exactly and with the single-process 8-device run to float
+        tolerance (the psum over DCN+ICI reassociates the same 8 shards)."""
+        import json
+        import socket
+        import subprocess
+        import sys
+
+        import optax
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        script = tmp_path / "train_worker.py"
+        script.write_text(
+            self._TRAIN_WORKER.format(repo=str(REPO), addr=f"127.0.0.1:{port}")
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        infos = []
+        for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{err[-3000:]}"
+            infos.append(json.loads(out.strip().splitlines()[-1]))
+        # both processes hold identical replicated results
+        assert infos[0] == infos[1]
+
+        # single-process reference on the same 8 (local) devices
+        engine = tiny_engine()
+        params = tiny_params(engine)
+        mesh = make_mesh(data=8, tile=1)
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+        opt_state = opt.init(params)
+        batch = jnp.asarray(np.random.RandomState(1).rand(8, 32, 32, 3).astype(np.float32))
+        rng = jax.random.PRNGKey(4)
+
+        def step(p, s, b, r):
+            imgs = b * 2.0 - 1.0
+            (loss, m), g = jax.value_and_grad(
+                lambda q: engine.loss(q, imgs, r), has_aux=True)(p)
+            u, s = opt.update(g, s, p)
+            import optax as _o
+            return _o.apply_updates(p, u), s, loss
+
+        jstep = jax.jit(step, in_shardings=(repl, repl, data_sh, None),
+                        out_shardings=(repl, repl, None))
+        losses = []
+        for _ in range(2):
+            params, opt_state, loss = jstep(params, opt_state, batch, rng)
+            losses.append(float(loss))
+        np.testing.assert_allclose(infos[0]["losses"], losses, rtol=1e-5)
+        want_sum = float(sum(np.float64(np.abs(np.asarray(l))).sum()
+                             for l in jax.tree.leaves(params)))
+        assert infos[0]["n_leaves"] == len(jax.tree.leaves(params))
+        np.testing.assert_allclose(infos[0]["checksum"], want_sum, rtol=1e-6)
+
     def test_claimed_multihost_fails_loudly(self, tmp_path):
         """If the environment claims multi-host but initialization cannot
         complete, setup_distributed must raise — never degrade silently
