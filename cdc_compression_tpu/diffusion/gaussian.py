@@ -35,6 +35,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import folding
 from ..ops.schedules import (
     SampleSchedule,
     TrainSchedule,
@@ -169,18 +170,21 @@ class GaussianDiffusion:
         clip_denoised,
         eta: float = 0.0,
         compute_dtype=None,
+        ctx_contrib=None,
     ) -> jax.Array:
         """One DDIM update x_t -> x_{t-1} (denoising_diffusion.py:137-152,
         xparam:152-174). Pure function of (params, x, t, rng).
 
         `compute_dtype=jnp.bfloat16` runs the U-Net on the MXU in bf16
         (params/context pre-cast by the caller); the schedule algebra
-        stays fp32."""
+        stays fp32. `ctx_contrib` carries the hoisted loop-invariant
+        context convolutions (Unet precompute_ctx)."""
         cfg = self.cfg
         b = x.shape[0]
         t_in = self._denoise_time_input(sched, jnp.broadcast_to(t, (b,)), b)
         x_in = x if compute_dtype is None else x.astype(compute_dtype)
-        fx = self.unet.apply(params["unet"], x_in, t_in, context)
+        fx = self.unet.apply(params["unet"], x_in, t_in, context,
+                             ctx_contrib=ctx_contrib)
         fx = fx.astype(jnp.float32)
         if cfg.pred_mode == "noise":
             x_recon = self._predict_start_from_noise(sched, x, jnp.broadcast_to(t, (b,)), fx)
@@ -206,7 +210,8 @@ class GaussianDiffusion:
             x_next = x_next + eta * sigma_t * jax.random.normal(rng, x.shape, x.dtype)
         return x_next
 
-    def ddpm_step(self, params, sched, x, t, context, rng, clip_denoised):
+    def ddpm_step(self, params, sched, x, t, context, rng, clip_denoised,
+                  ctx_contrib=None):
         """Correct ancestral DDPM step. The reference's DDPM branch crashes
         (posterior coeffs never registered, denoising_diffusion.py:111-116);
         this is the working capability it intended."""
@@ -214,7 +219,8 @@ class GaussianDiffusion:
         b = x.shape[0]
         tb = jnp.broadcast_to(t, (b,))
         t_in = self._denoise_time_input(sched, tb, b)
-        fx = self.unet.apply(params["unet"], x, t_in, context)
+        fx = self.unet.apply(params["unet"], x, t_in, context,
+                             ctx_contrib=ctx_contrib)
         if cfg.pred_mode == "noise":
             x_recon = self._predict_start_from_noise(sched, x, tb, fx)
         elif cfg.pred_mode == "x":
@@ -258,14 +264,30 @@ class GaussianDiffusion:
             }
             context = [c.astype(compute_dtype) for c in context]
 
+        # hoist the loop-invariant context convolutions out of the scan
+        # (bf16 serving path only: the split changes fp32 summation order
+        # and the fp32 lowering is the golden-parity path)
+        ctx_contrib = None
+        if (
+            compute_dtype == jnp.bfloat16
+            and sample_mode == "ddim"  # ddpm passes fp32 x; layouts must agree
+            and len(context) > 0
+            and folding.ctx_hoist_active()
+            and isinstance(getattr(self.unet, "context_dim_mults", None), (list, tuple))
+        ):
+            ctx_contrib = self.unet.apply(
+                params["unet"], None, None, context, precompute_ctx=True
+            )
+
         def body(carry, t):
             x, key = carry
             key, sub = jax.random.split(key)
             if sample_mode == "ddim":
                 x = step_fn(params, sched, x, t, context, sub, clip_denoised, eta,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, ctx_contrib=ctx_contrib)
             else:
-                x = step_fn(params, sched, x, t, context, sub, clip_denoised)
+                x = step_fn(params, sched, x, t, context, sub, clip_denoised,
+                            ctx_contrib=ctx_contrib)
             return (x, key), None
 
         ts = jnp.arange(steps - 1, -1, -1)

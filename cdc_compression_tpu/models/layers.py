@@ -48,11 +48,19 @@ class Conv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, *, params_only: bool = False, folded: bool = False):
+    def __call__(self, x, *, params_only: bool = False, folded: bool = False,
+                 cin_total: int | None = None, in_offset: int = 0,
+                 add_bias: bool = True):
         k = self.kernel_size
         # folded=True: x is the width-folded (B, H, W/2, 2*cin) view of a
-        # (B, H, W, cin) map (ops.folding); params keep unfolded shapes
-        cin = x.shape[-1] // 2 if folded else x.shape[-1]
+        # (B, H, W, cin) map (ops.folding); params keep unfolded shapes.
+        # cin_total/in_offset: x carries only a channel SLICE of this
+        # conv's input (the context-hoisting split, ops.folding docs) —
+        # the kernel keeps its full (k,k,cin_total,out) shape and is
+        # sliced for the contraction; conv(x_slice, K[off:off+xc]) sums
+        # with the other slice's contribution to the exact full conv.
+        xc = x.shape[-1] // 2 if folded else x.shape[-1]
+        cin = cin_total if cin_total is not None else xc
         kernel = self.param("kernel", _torch_conv_init, (k, k, cin, self.features))
         bias = None
         if self.use_bias:
@@ -66,6 +74,10 @@ class Conv2d(nn.Module):
             # expose (kernel, bias) for a fused Pallas caller; x is
             # shape-only here (sets fan-in), nothing is computed
             return kernel, bias
+        if cin_total is not None and (in_offset != 0 or xc != cin_total):
+            kernel = kernel[:, :, in_offset : in_offset + xc, :]
+        if not add_bias:
+            bias = None
         if folded:
             return self._folded_conv(x, kernel, bias)
         if (
@@ -344,20 +356,29 @@ class Block(nn.Module):
     large: bool = False
 
     @nn.compact
-    def __call__(self, x, in_bias=None, residual=None, folded: bool = False):
+    def __call__(self, x, in_bias=None, residual=None, folded: bool = False,
+                 cin_total: int | None = None, in_offset: int = 0,
+                 conv_extra=None, conv_only: bool = False):
         k, p = (7, 3) if self.large else (3, 1)
         conv = Conv2d(self.features, k, padding=p, name="conv")
         norm = ChannelLayerNorm(name="norm")
+        if conv_only:
+            # context-hoisting contribution: the biasless conv of an input
+            # channel slice, no LN/ReLU (those wrap the summed conv)
+            return conv(x, folded=folded, cin_total=cin_total,
+                        in_offset=in_offset, add_bias=False)
         if folded:
             if in_bias is not None:
                 x = x + folding.tile2(in_bias)[:, None, None, :].astype(x.dtype)
-            x = conv(x, folded=True)
+            x = conv(x, folded=True, cin_total=cin_total)
+            if conv_extra is not None:
+                x = x + conv_extra.astype(x.dtype)
             x = norm(x, folded=True)
             x = nn.relu(x)
             if residual is not None:
                 x = x + residual.astype(x.dtype)
             return x
-        if pallas_kernels.fused_blocks_active():
+        if pallas_kernels.fused_blocks_active() and conv_extra is None and cin_total is None:
             # XLA keeps the conv (its conv kernels beat a hand-rolled
             # halo pipeline — measured); the LN+ReLU+skip epilogue runs
             # as one Pallas HBM pass instead of XLA's reduce+normalize
@@ -368,7 +389,9 @@ class Block(nn.Module):
             return pallas_kernels.fused_layernorm(y, g, b, residual=residual)
         if in_bias is not None:
             x = x + in_bias[:, None, None, :].astype(x.dtype)
-        x = conv(x)
+        x = conv(x, cin_total=cin_total)
+        if conv_extra is not None:
+            x = x + conv_extra.astype(x.dtype)
         x = norm(x)
         x = nn.relu(x)
         if residual is not None:
@@ -385,9 +408,35 @@ class ResnetBlock(nn.Module):
     large: bool = False
 
     @nn.compact
-    def __call__(self, x, time_emb=None, folded: bool = False):
-        cin = x.shape[-1] // 2 if folded else x.shape[-1]
-        h = Block(self.features, large=self.large, name="block1")(x, folded=folded)
+    def __call__(self, x, time_emb=None, folded: bool = False,
+                 cin_total: int | None = None, ctx_contrib=None,
+                 contrib: bool = False):
+        if contrib:
+            # context-hoisting precompute (ops.folding docs): x here is
+            # the CONTEXT slice (already folded if `folded`), which sits
+            # at the END of the concat this block normally consumes.
+            # Returns the loop-invariant (block1-conv, skip-conv)
+            # contributions; biases stay with the in-loop half.
+            xc = x.shape[-1] // 2 if folded else x.shape[-1]
+            off = cin_total - xc
+            c1 = Block(self.features, large=self.large, name="block1")(
+                x, folded=folded, cin_total=cin_total, in_offset=off, conv_only=True
+            )
+            s1 = None
+            if cin_total != self.features:
+                s1 = Conv2d(self.features, 1, name="res_conv")(
+                    x, folded=folded, cin_total=cin_total, in_offset=off, add_bias=False
+                )
+            return c1, s1
+        cin = cin_total if cin_total is not None else (
+            x.shape[-1] // 2 if folded else x.shape[-1]
+        )
+        c1 = s1 = None
+        if ctx_contrib is not None:
+            c1, s1 = ctx_contrib
+        h = Block(self.features, large=self.large, name="block1")(
+            x, folded=folded, cin_total=cin_total, conv_extra=c1
+        )
         t = None
         if time_emb is not None:
             assert self.time_emb_dim is not None
@@ -399,7 +448,10 @@ class ResnetBlock(nn.Module):
             )(nn.leaky_relu(time_emb, 0.2))
         skip = x
         if cin != self.features:
-            skip = Conv2d(self.features, 1, name="res_conv")(x, folded=folded)
+            skip = Conv2d(self.features, 1, name="res_conv")(x, folded=folded,
+                                                            cin_total=cin_total)
+            if s1 is not None:
+                skip = skip + s1.astype(skip.dtype)
         # time bias + skip ride along block2 (one fused kernel on TPU)
         return Block(self.features, name="block2")(h, in_bias=t, residual=skip, folded=folded)
 

@@ -45,12 +45,50 @@ class Unet(nn.Module):
     embd_type: str = "01"
 
     @nn.compact
-    def __call__(self, x, time=None, context=()):
+    def __call__(self, x, time=None, context=(), ctx_contrib=None,
+                 precompute_ctx: bool = False):
         """x: (B,H,W,C) noisy image; time: (B,1) in [0,1] ("01") or (B,)
         index ("index"); context: coarse-to-fine-reversed pyramid, finest
-        first, concatenated at down levels 0..len(context)-1."""
+        first, concatenated at down levels 0..len(context)-1.
+
+        Context hoisting (decode fast path): the context half of every
+        context-consuming conv (each down level's res1 block1 + 1x1 skip)
+        is loop-invariant across the DDIM scan, so
+        ``apply(params, None, None, context, precompute_ctx=True)``
+        computes those contributions ONCE and the per-step call consumes
+        them via ``ctx_contrib=`` without re-convolving the context —
+        exact split of each conv (Conv2d cin_total/in_offset)."""
         dims = [self.channels, *(self.dim * m for m in self.dim_mults)]
         num_resolutions = len(dims) - 1
+
+        if precompute_ctx:
+            n_ctx = min(len(context), len(self.context_dim_mults))
+            c0 = context[0]
+            foldable = (
+                c0.dtype == jnp.bfloat16 and c0.shape[2] % 2 == 0 and num_resolutions > 1
+            )
+            l0_cin = self.channels + self.context_channels
+            fold0 = foldable and folding.fold_l0_active(
+                l0_cin, c0.shape[1] * c0.shape[2]
+            )
+            time_dim = self.dim if self.with_time_emb else None
+            out = []
+            for ind in range(n_ctx):
+                folded = fold0 and ind == 0
+                cin_total = dims[ind] + context[ind].shape[-1]
+                if cin_total == dims[ind + 1]:
+                    # identity skip: the residual IS the concat, which the
+                    # split cannot hoist — this level keeps the concat path
+                    out.append(None)
+                    continue
+                ctx_l = folding.fold2(context[ind]) if folded else context[ind]
+                out.append(
+                    ResnetBlock(
+                        dims[ind + 1], time_emb_dim=time_dim, large=(ind == 0),
+                        name=f"down_{ind}_res1",
+                    )(ctx_l, None, folded=folded, cin_total=cin_total, contrib=True)
+                )
+            return out
 
         if self.with_time_emb:
             if self.embd_type == "01":
@@ -76,18 +114,28 @@ class Unet(nn.Module):
         )
         l0_cin = self.channels + (self.context_channels if n_ctx > 0 else 0)
         fold0 = foldable and folding.fold_l0_active(l0_cin, x.shape[1] * x.shape[2])
+        hoisted = ctx_contrib is not None
         h = []
         for ind in range(num_resolutions):
             is_last = ind >= num_resolutions - 1
             dim_out = dims[ind + 1]
             folded = fold0 and ind == 0
-            if ind < n_ctx:
+            level_hoisted = hoisted and ind < n_ctx and ctx_contrib[ind] is not None
+            if ind < n_ctx and not level_hoisted:
                 x = jnp.concatenate([x, context[ind].astype(x.dtype)], axis=-1)
             if folded:
                 x = folding.fold2(x)
-            x = ResnetBlock(
-                dim_out, time_emb_dim=time_dim, large=(ind == 0), name=f"down_{ind}_res1"
-            )(x, t, folded=folded)
+            if level_hoisted:
+                x = ResnetBlock(
+                    dim_out, time_emb_dim=time_dim, large=(ind == 0),
+                    name=f"down_{ind}_res1",
+                )(x, t, folded=folded,
+                  cin_total=dims[ind] + context[ind].shape[-1],
+                  ctx_contrib=ctx_contrib[ind])
+            else:
+                x = ResnetBlock(
+                    dim_out, time_emb_dim=time_dim, large=(ind == 0), name=f"down_{ind}_res1"
+                )(x, t, folded=folded)
             x = ResnetBlock(dim_out, time_emb_dim=time_dim, name=f"down_{ind}_res2")(
                 x, t, folded=folded
             )

@@ -78,6 +78,8 @@ import jax.numpy as jnp
 _FOLD_L0 = None  # None = auto (per-model), True/False = forced
 _FOLD_UP = False
 _FOLD_HEAD = True
+# decode-time context hoisting (see enable_ctx_hoist)
+_CTX_HOIST = True
 # downsample-input fold: measured −0.40 ms/step on the ε-family 768x512
 # 17-step bf16 decode (15.12 -> 14.72, device self-time) — see PERF.md
 _FOLD_DOWNSAMPLE = True
@@ -140,6 +142,20 @@ def enable_fold_downsample(on: bool) -> None:
 
 def fold_downsample_active() -> bool:
     return _FOLD_DOWNSAMPLE
+
+
+def enable_ctx_hoist(on: bool) -> None:
+    """Toggle decode-time context hoisting: the context half of every
+    context-consuming conv (each down level's res1 block1 + 1x1 skip) is
+    computed ONCE outside the DDIM scan and added in-loop, so the
+    per-step convs contract only the x channels. Exact split of each
+    conv; bf16 decode path only (changes fp32 summation order)."""
+    global _CTX_HOIST
+    _CTX_HOIST = bool(on)
+
+
+def ctx_hoist_active() -> bool:
+    return _CTX_HOIST
 
 
 def enable_fold_head(on: bool) -> None:

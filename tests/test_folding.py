@@ -254,6 +254,61 @@ class TestFoldedUnet:
         assert bool(jnp.isfinite(dec16.astype(jnp.float32)).all())
         np.testing.assert_array_equal(np.asarray(bpp16), np.asarray(bpp32))
 
+    def test_ctx_hoist_fp32_exact(self):
+        """precompute_ctx + ctx_contrib consume computes the SAME function
+        as the concat path: conv(concat(x,ctx),K) = conv(x,K_x)+conv(ctx,K_ctx)
+        (fp32, unfolded — only float reassociation separates them)."""
+        unet, params, x, t, ctx = self._setup()
+        want = unet.apply(params, x, t, ctx)
+        contrib = unet.apply(params, None, None, ctx, precompute_ctx=True)
+        got = unet.apply(params, x, t, ctx, ctx_contrib=contrib)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_ctx_hoist_folded_bf16_close(self):
+        """Hoisting under the folded level-0 layout (contributions computed
+        folded, consumed folded) stays bf16-close to the concat path."""
+        unet, params, x, t, ctx = self._setup()
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        x16, t16 = x.astype(jnp.bfloat16), t.astype(jnp.bfloat16)
+        c16 = [c.astype(jnp.bfloat16) for c in ctx]
+        try:
+            self._set_all(True)
+            want = unet.apply(p16, x16, t16, c16)
+            contrib = unet.apply(p16, None, None, c16, precompute_ctx=True)
+            # level-0 contribution must be in the folded layout
+            assert contrib[0][0].shape[2] == x.shape[2] // 2
+            got = unet.apply(p16, x16, t16, c16, ctx_contrib=contrib)
+        finally:
+            self._restore_defaults()
+        d = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32)).max()
+        scale = np.abs(np.asarray(want, np.float32)).max()
+        assert d < 0.05 * max(1.0, scale), (d, scale)
+
+    def test_ctx_hoist_bf16_decode_end_to_end(self):
+        """compress() auto-hoists on the bf16 DDIM path; result stays
+        bf16-close to the unhoisted bf16 decode and fp32 rate math is
+        bit-identical (symbols don't touch the hoist)."""
+        from cdc_compression_tpu.utils.presets import init_params, x_family
+
+        engine = x_family(dim=16, num_timesteps=32, aux_loss_weight=0.0)
+        params = init_params(engine, 0, image_hw=(64, 64))
+        x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3) * 2 - 1, jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        init = jnp.zeros_like(x)
+        try:
+            folding.enable_ctx_hoist(True)
+            dec_h, bpp_h = engine.compress(params, x, sample_steps=2, rng=rng,
+                                           init=init, compute_dtype=jnp.bfloat16)
+            folding.enable_ctx_hoist(False)
+            dec_n, bpp_n = engine.compress(params, x, sample_steps=2, rng=rng,
+                                           init=init, compute_dtype=jnp.bfloat16)
+        finally:
+            folding.enable_ctx_hoist(True)
+        np.testing.assert_array_equal(np.asarray(bpp_h), np.asarray(bpp_n))
+        d = np.abs(np.asarray(dec_h, np.float32) - np.asarray(dec_n, np.float32)).max()
+        assert d < 0.1, d
+
     def test_folded_grads_flow(self):
         unet, params, x, t, ctx = self._setup()
         p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
