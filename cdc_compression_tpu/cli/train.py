@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps per dispatched device program (lax.scan); "
+                        ">1 hides host->device dispatch latency")
     p.add_argument("--save_every", type=int, default=5000)
     p.add_argument("--sample_steps", type=int, default=200)
     # data
@@ -180,6 +183,7 @@ def main(argv=None):
         use_ema=not args.no_ema,
         ema=EMAConfig(),
         bf16=args.use_mixed_precision,
+        steps_per_call=args.steps_per_call,
         save_every=args.save_every,
         sample_steps=args.sample_steps,
         results_dir=args.results_dir,

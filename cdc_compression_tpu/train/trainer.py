@@ -44,6 +44,11 @@ class TrainConfig:
     use_ema: bool = False
     ema: EMAConfig = EMAConfig()
     bf16: bool = False  # cast activations/batch to bf16 inside the step
+    # steps per dispatched program: >1 runs a lax.scan of K train steps in
+    # ONE device call, hiding per-step host->device dispatch latency (on a
+    # tunneled TPU the wall rate is otherwise ~60% of device capability).
+    # n_steps is rounded up to a multiple of K.
+    steps_per_call: int = 1
     save_every: int = 5000
     val_num_of_batch: int = 1
     sample_steps: int = 200
@@ -139,17 +144,36 @@ class Trainer:
                 metrics,
             )
 
+        K = cfg.steps_per_call
+        if K > 1:
+            def multi_step_fn(state: State, batches: jax.Array, rngs: jax.Array):
+                """batches: (K,B,H,W,C); rngs: (K,2). One compiled program
+                running K optimizer steps back-to-back on device."""
+
+                def body(s, xs):
+                    b, r = xs
+                    return step_fn(s, b, r)
+
+                state, ms = jax.lax.scan(body, state, (batches, rngs))
+                return state, jax.tree.map(lambda a: a[-1], ms)
+
+            fn = multi_step_fn
+        else:
+            fn = step_fn
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(self.mesh, P())
-            data_sh = NamedSharding(self.mesh, P("data"))
+            data_sh = NamedSharding(
+                self.mesh, P(None, "data") if K > 1 else P("data")
+            )
             return jax.jit(
-                step_fn,
+                fn,
                 in_shardings=(None, data_sh, repl),
                 donate_argnums=(0,),
             )
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(fn, donate_argnums=(0,))
 
     def train_step(self, state: State, batch, rng) -> Tuple[State, Dict[str, jax.Array]]:
         return self._jit_step(state, jnp.asarray(batch), rng)
@@ -159,27 +183,38 @@ class Trainer:
         cfg = self.cfg
         n = cfg.n_steps if num_steps is None else num_steps
         step0 = int(state.step)
+        K = max(1, cfg.steps_per_call)
         import time
 
         t_last, i_last = time.perf_counter(), step0
-        for i in range(step0, step0 + n):
-            batch = next(self.train_iter)
-            rng, sub = jax.random.split(rng)
-            state, metrics = self.train_step(state, batch, sub)
-            if self._writer is not None and i % 50 == 0:
+        log_every = max(50, K)
+        print_every = max(500, K)
+        i = step0
+        while i < step0 + n:
+            if K == 1:
+                batch = next(self.train_iter)
+                rng, sub = jax.random.split(rng)
+                state, metrics = self.train_step(state, batch, sub)
+            else:
+                batches = np.stack([next(self.train_iter) for _ in range(K)])
+                keys = jax.random.split(rng, K + 1)
+                rng, subs = keys[0], keys[1:]
+                state, metrics = self._jit_step(state, jnp.asarray(batches), subs)
+            i += K
+            if self._writer is not None and i % log_every < K:
                 for k, v in metrics.items():
                     self._writer.add_scalar(k, float(v), i)
-            if i % 500 == 0:
+            if i % print_every < K:
                 now = time.perf_counter()
                 rate = (i - i_last) / max(now - t_last, 1e-9)
                 t_last, i_last = now, i
                 print(
                     f"step {i}: " +
                     " ".join(f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())) +
-                    (f" [{rate:.1f} steps/s]" if i > step0 else ""),
+                    (f" [{rate:.1f} steps/s]" if i > step0 + K else ""),
                     flush=True,
                 )
-            if i % cfg.save_every == 0 and i > step0:
+            if i % cfg.save_every < K and i - step0 >= cfg.save_every:
                 self.validate(state, rng, global_step=i)
                 self.save(state)
         self.save(state)

@@ -56,6 +56,32 @@ class TestTrainer:
         assert int(state.step) == 30
         assert state.ema is not None
 
+    def test_multi_step_per_call_trains(self, tmp_path):
+        """steps_per_call>1 scans K optimizer steps inside ONE dispatched
+        program (dispatch-latency hiding on tunneled TPUs); the loop must
+        advance step counts by K and still optimize."""
+        engine = tiny_engine()
+        cfg = TrainConfig(lr=1e-3, grad_clip=1.0, use_ema=True,
+                          ema=EMAConfig(update_after_step=2, update_every=1),
+                          steps_per_call=4,
+                          results_dir=str(tmp_path), save_every=10_000)
+        import itertools
+
+        fixed = next(batches())
+        trainer = Trainer(engine, cfg, train_iter=itertools.repeat(fixed))
+        state = trainer.init_state(tiny_params(engine))
+        state = trainer.train(state, jax.random.PRNGKey(0), num_steps=24)
+        assert int(state.step) == 24
+        # and the scanned-step program optimizes like the single-step one
+        losses = []
+        s = trainer.init_state(tiny_params(engine))
+        for i in range(6):
+            keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(1), i), 5)
+            s, m = trainer._jit_step(s, jnp.asarray(np.stack([fixed] * 4)), keys[1:])
+            losses.append(float(m["total_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
     @pytest.mark.slow
     def test_end_to_end_rate_optimizes_and_bitstream_matches(self, tmp_path):
         """Close the quality loop at test scale (VERDICT r1 item 3): train
