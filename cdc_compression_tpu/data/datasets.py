@@ -133,13 +133,29 @@ class ImageFolderDataset:
         if not self.files:
             raise FileNotFoundError(f"no images under {root}")
         self.transforms = list(transforms)
+        # bounded decoded-image cache: random-crop training re-reads the
+        # same file once per crop, and PNG decode dominates the host side
+        # of the train loop on small datasets (measured: the 3-image Kodak
+        # run is loader-bound without it). Transforms never mutate the
+        # source array (crops are views, flips are copies).
+        self._cache: dict = {}
+        self._cache_cap = 64
 
     def __len__(self):
         return len(self.files)
 
+    def _load_cached(self, path: str) -> np.ndarray:
+        img = self._cache.get(path)
+        if img is None:
+            img = _load_image(path)
+            if len(self._cache) >= self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[path] = img
+        return img
+
     def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
         rng = rng or np.random.RandomState()
-        img = _load_image(self.files[idx])
+        img = self._load_cached(self.files[idx])
         for t in self.transforms:
             img = t(img, rng)
         return np.asarray(img, np.float32) / 255.0
