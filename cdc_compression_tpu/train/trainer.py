@@ -109,6 +109,14 @@ class Trainer:
 
             self._writer = SummaryWriter(cfg.tensorboard_dir)
         self._jit_step = self._build_step()
+        # jitted validation decode (eager compress dispatches the whole
+        # DDIM loop op-by-op — minutes over a tunneled TPU)
+        self._val_jit = jax.jit(
+            lambda p, im, r: self.engine.compress(
+                p, im, sample_steps=cfg.sample_steps, rng=r,
+                sample_mode=cfg.sample_mode,
+            )
+        )
 
     # -- state ----------------------------------------------------------
     def init_state(self, params) -> State:
@@ -229,10 +237,7 @@ class Trainer:
         for i in range(cfg.val_num_of_batch):
             batch = jnp.asarray(next(self.val_iter))
             imgs = batch * 2.0 - 1.0
-            decoded, bpp = self.engine.compress(
-                params, imgs, sample_steps=cfg.sample_steps, rng=rng,
-                sample_mode=cfg.sample_mode,
-            )
+            decoded, bpp = self._val_jit(params, imgs, rng)
             decoded01 = jnp.clip((decoded + 1) / 2, 0, 1)
             mse = jnp.mean(jnp.square(decoded01 - batch))
             psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
