@@ -91,6 +91,8 @@ def _main():
                    help="fold the last up stage too")
     p.add_argument("--fold_downsample", choices=["on", "off"], default="on",
                    help="fold Downsample inputs (default on — measured win)")
+    p.add_argument("--ctx_hoist", choices=["on", "off"], default="on",
+                   help="hoist loop-invariant context convs out of the scan")
     args = p.parse_args()
 
     import sys
@@ -111,6 +113,7 @@ def _main():
     if args.fold_up:
         folding.enable_fold_up(True)
     folding.enable_fold_downsample(args.fold_downsample == "on")
+    folding.enable_ctx_hoist(args.ctx_hoist == "on")
     H, W = args.hw
     if args.train:
         from cdc_compression_tpu.train.trainer import TrainConfig, Trainer
