@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_path", required=True)
     p.add_argument("--hflip", action="store_true",
                    help="random horizontal flip on the train crop stack")
+    p.add_argument("--on_device_data", action="store_true",
+                   help="upload the whole (small, equal-size-image) dataset "
+                        "to device once and sample crops inside the jitted "
+                        "step — zero per-step host->device input transfer")
     p.add_argument("--val_dataset", default=None)
     p.add_argument("--val_data_path", default=None)
     p.add_argument("--n_workers", type=int, default=4)
@@ -147,12 +151,31 @@ def main(argv=None):
         )
 
     host_id, num_hosts = jax.process_index(), jax.process_count()
-    train_ds = load_dataset(args.dataset, args.data_path, train=True,
-                            img_size=args.img_size, hflip=args.hflip)
-    train_iter = iter(
-        Loader(train_ds, args.batch_size, num_workers=args.n_workers,
-               host_id=host_id, num_hosts=num_hosts)
-    )
+    device_images = None
+    train_iter = None
+    if args.on_device_data:
+        from PIL import Image
+        import pathlib
+
+        files = sorted(p for p in pathlib.Path(args.data_path).rglob("*")
+                       if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+        imgs = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+                for f in files]
+        shapes = {im.shape for im in imgs}
+        if len(shapes) != 1:
+            raise SystemExit(f"--on_device_data needs equal-size images, got {shapes}")
+        device_images = np.stack(imgs)
+        mb = device_images.nbytes / 2**20
+        if mb > 2048:
+            raise SystemExit(f"--on_device_data bank is {mb:.0f} MB; too large")
+        print(f"on-device data bank: {device_images.shape} ({mb:.1f} MB)")
+    else:
+        train_ds = load_dataset(args.dataset, args.data_path, train=True,
+                                img_size=args.img_size, hflip=args.hflip)
+        train_iter = iter(
+            Loader(train_ds, args.batch_size, num_workers=args.n_workers,
+                   host_id=host_id, num_hosts=num_hosts)
+        )
     val_iter = None
     if args.val_data_path:
         val_ds = load_dataset(args.val_dataset or args.dataset, args.val_data_path, train=False)
@@ -190,7 +213,9 @@ def main(argv=None):
         tensorboard_dir=args.tensorboard_dir,
         model_name=model_name(args),
     )
-    trainer = Trainer(engine, cfg, train_iter, val_iter, mesh=mesh)
+    trainer = Trainer(engine, cfg, train_iter, val_iter, mesh=mesh,
+                      device_images=device_images, batch_size=args.batch_size,
+                      crop_size=args.img_size, hflip=args.hflip)
     params = init_params(engine, 0, (args.img_size, args.img_size))
     if args.ae_path:
         from flax import serialization

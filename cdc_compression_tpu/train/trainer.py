@@ -93,15 +93,33 @@ class Trainer:
         self,
         engine: GaussianDiffusion,
         cfg: TrainConfig,
-        train_iter: Iterator[np.ndarray],
+        train_iter: Optional[Iterator[np.ndarray]],
         val_iter: Optional[Iterator[np.ndarray]] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        device_images: Optional[np.ndarray] = None,
+        batch_size: int = 4,
+        crop_size: int = 256,
+        hflip: bool = True,
     ):
+        """`device_images` ((N,H,W,C) floats in [0,1]): keep the WHOLE
+        (small) dataset resident on device and sample random crops/flips
+        INSIDE the jitted train step — zero per-step host->device input
+        transfer. On a tunneled TPU the host batch path is both the wall
+        bottleneck (~15-35 MB/s transfers) and a per-transfer host-memory
+        leak in the experimental axon client (measured ~25 MB/dispatch,
+        OOM after ~5k dispatches); on-device sampling sidesteps both and
+        is the right design anyway — the data lives where the FLOPs are."""
         self.engine = engine
         self.cfg = cfg
         self.train_iter = train_iter
         self.val_iter = val_iter
         self.mesh = mesh
+        self.device_images = (
+            None if device_images is None else jnp.asarray(device_images, jnp.float32)
+        )
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self.hflip = hflip
         self.opt = make_optimizer(cfg)
         self._writer = None
         if cfg.tensorboard_dir:
@@ -128,8 +146,27 @@ class Trainer:
         )
 
     # -- the jitted step ------------------------------------------------
+    def _sample_device_batch(self, key: jax.Array) -> jax.Array:
+        """(B, crop, crop, C) random crops (+hflip) from the on-device
+        image bank — runs inside the compiled step, no host I/O."""
+        imgs = self.device_images
+        n, H, W, C = imgs.shape
+        B, s = self.batch_size, self.crop_size
+        kn, kh, kw, kf = jax.random.split(key, 4)
+        idx = jax.random.randint(kn, (B,), 0, n)
+        ys = jax.random.randint(kh, (B,), 0, H - s + 1)
+        xs = jax.random.randint(kw, (B,), 0, W - s + 1)
+        crops = jax.vmap(
+            lambda i, y, x: jax.lax.dynamic_slice(imgs[i], (y, x, 0), (s, s, C))
+        )(idx, ys, xs)
+        if self.hflip:
+            flip = jax.random.bernoulli(kf, 0.5, (B,))
+            crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :], crops)
+        return crops
+
     def _build_step(self):
         engine, cfg, opt = self.engine, self.cfg, self.opt
+        on_device_data = self.device_images is not None
 
         def step_fn(state: State, batch: jax.Array, rng: jax.Array):
             """batch: (B,H,W,C) floats in [0,1]. With cfg.bf16 the network
@@ -153,6 +190,21 @@ class Trainer:
             )
 
         K = cfg.steps_per_call
+        if on_device_data:
+            def data_step_fn(state: State, rng: jax.Array):
+                k_data, k_loss = jax.random.split(rng)
+                return step_fn(state, self._sample_device_batch(k_data), k_loss)
+
+            if K > 1:
+                def multi_data_fn(state: State, rngs: jax.Array):
+                    state, ms = jax.lax.scan(data_step_fn, state, rngs)
+                    return state, jax.tree.map(lambda a: a[-1], ms)
+
+                fn = multi_data_fn
+            else:
+                fn = data_step_fn
+            return jax.jit(fn, donate_argnums=(0,))
+
         if K > 1:
             def multi_step_fn(state: State, batches: jax.Array, rngs: jax.Array):
                 """batches: (K,B,H,W,C); rngs: (K,2). One compiled program
@@ -199,7 +251,13 @@ class Trainer:
         print_every = max(500, K)
         i = step0
         while i < step0 + n:
-            if K == 1:
+            if self.device_images is not None:
+                keys = jax.random.split(rng, K + 1)
+                rng = keys[0]
+                state, metrics = self._jit_step(
+                    state, keys[1:] if K > 1 else keys[1]
+                )
+            elif K == 1:
                 batch = next(self.train_iter)
                 rng, sub = jax.random.split(rng)
                 state, metrics = self.train_step(state, batch, sub)

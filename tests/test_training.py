@@ -82,6 +82,27 @@ class TestTrainer:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
+    def test_on_device_data_sampling_trains(self, tmp_path):
+        """device_images mode: crops/flips are sampled INSIDE the jitted
+        step from an on-device image bank — no per-step host input. The
+        loop must advance and optimize with zero train_iter."""
+        engine = tiny_engine()
+        cfg = TrainConfig(lr=1e-3, grad_clip=1.0, steps_per_call=4,
+                          results_dir=str(tmp_path), save_every=10_000)
+        bank = np.random.RandomState(0).rand(3, 48, 64, 3).astype(np.float32)
+        trainer = Trainer(engine, cfg, train_iter=None,
+                          device_images=bank, batch_size=2, crop_size=32)
+        state = trainer.init_state(tiny_params(engine, hw=32))
+        state = trainer.train(state, jax.random.PRNGKey(0), num_steps=16)
+        assert int(state.step) == 16
+        # single-step variant too
+        cfg1 = TrainConfig(lr=1e-3, results_dir=str(tmp_path), save_every=10_000)
+        tr1 = Trainer(engine, cfg1, train_iter=None,
+                      device_images=bank, batch_size=2, crop_size=32)
+        s1 = tr1.init_state(tiny_params(engine, hw=32))
+        s1, m = tr1._jit_step(s1, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["total_loss"]))
+
     @pytest.mark.slow
     def test_end_to_end_rate_optimizes_and_bitstream_matches(self, tmp_path):
         """Close the quality loop at test scale (VERDICT r1 item 3): train
