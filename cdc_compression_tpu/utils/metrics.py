@@ -31,10 +31,15 @@ def _ssim_components(a, b, kernel, c1, c2):
     k = jnp.tile(k, (1, 1, 1, C))
 
     def filt(x):
+        # HIGHEST precision: on TPU the default (bf16 MXU passes) loses
+        # ~1e-3 in the E[x^2]-mu^2 cancellation — comparable to c2, which
+        # pushed near-perfect reconstructions to MS-SSIM > 1 (measured
+        # 1.02-1.04). fp32 statistics are part of the metric's contract.
         return jax.lax.conv_general_dilated(
             x, k, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_a, mu_b = filt(a), filt(b)
