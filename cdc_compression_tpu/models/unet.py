@@ -76,9 +76,14 @@ class Unet(nn.Module):
             for ind in range(n_ctx):
                 folded = fold0 and ind == 0
                 cin_total = dims[ind] + context[ind].shape[-1]
-                if cin_total == dims[ind + 1]:
-                    # identity skip: the residual IS the concat, which the
-                    # split cannot hoist — this level keeps the concat path
+                if (
+                    cin_total == dims[ind + 1]
+                    or context[ind].shape[-1] < folding.CTX_HOIST_MIN_CH
+                ):
+                    # identity skip (the residual IS the concat, which the
+                    # split cannot hoist) or a context too narrow to pay
+                    # for the split (measured, ops.folding) — these levels
+                    # keep the concat path
                     out.append(None)
                     continue
                 ctx_l = folding.fold2(context[ind]) if folded else context[ind]

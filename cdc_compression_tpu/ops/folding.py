@@ -144,12 +144,22 @@ def fold_downsample_active() -> bool:
     return _FOLD_DOWNSAMPLE
 
 
+# hoist only levels whose context is at least this wide: the split costs
+# one extra in-loop add and makes the in-loop conv's cin smaller (more
+# lane-sparse), so it must save real FLOPs to pay off. Measured (v5e,
+# 768x512 17-step bf16 decode, device self-time): ε-family ctx widths
+# 3-12 LOSE 0.49 ms/step hoisted (14.72 -> 15.21); x-family ctx widths
+# 64-256 WIN 2.36 ms/step (17.50 -> 15.14).
+CTX_HOIST_MIN_CH = 32
+
+
 def enable_ctx_hoist(on: bool) -> None:
     """Toggle decode-time context hoisting: the context half of every
-    context-consuming conv (each down level's res1 block1 + 1x1 skip) is
-    computed ONCE outside the DDIM scan and added in-loop, so the
-    per-step convs contract only the x channels. Exact split of each
-    conv; bf16 decode path only (changes fp32 summation order)."""
+    wide-context conv (each down level's res1 block1 + 1x1 skip, ctx >=
+    CTX_HOIST_MIN_CH channels) is computed ONCE outside the DDIM scan
+    and added in-loop, so the per-step convs contract only the x
+    channels. Exact split of each conv; bf16 decode path only (changes
+    fp32 summation order)."""
     global _CTX_HOIST
     _CTX_HOIST = bool(on)
 

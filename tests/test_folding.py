@@ -254,21 +254,48 @@ class TestFoldedUnet:
         assert bool(jnp.isfinite(dec16.astype(jnp.float32)).all())
         np.testing.assert_array_equal(np.asarray(bpp16), np.asarray(bpp32))
 
+    def _setup_wide_ctx(self):
+        """Hoist-eligible topology: context >= folding.CTX_HOIST_MIN_CH
+        channels per level (the x-family regime where the split wins)."""
+        from cdc_compression_tpu.models.unet import Unet
+
+        unet = Unet(dim=8, dim_mults=(1, 2, 3), context_dim_mults=(1, 2),
+                    channels=3, context_channels=32)
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(1, 16, 24, 3), jnp.float32)
+        t = jnp.asarray(rng.rand(1, 1), jnp.float32)
+        ctx = [jnp.asarray(rng.randn(1, 16, 24, 32), jnp.float32),
+               jnp.asarray(rng.randn(1, 8, 12, 64), jnp.float32)]
+        params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+        return unet, params, x, t, ctx
+
     def test_ctx_hoist_fp32_exact(self):
         """precompute_ctx + ctx_contrib consume computes the SAME function
         as the concat path: conv(concat(x,ctx),K) = conv(x,K_x)+conv(ctx,K_ctx)
         (fp32, unfolded — only float reassociation separates them)."""
-        unet, params, x, t, ctx = self._setup()
+        unet, params, x, t, ctx = self._setup_wide_ctx()
         want = unet.apply(params, x, t, ctx)
         contrib = unet.apply(params, None, None, ctx, precompute_ctx=True)
+        # both levels are wide enough to hoist
+        assert all(c is not None for c in contrib)
         got = unet.apply(params, x, t, ctx, ctx_contrib=contrib)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_ctx_hoist_narrow_ctx_not_hoisted(self):
+        """Levels with a context narrower than CTX_HOIST_MIN_CH keep the
+        concat path (the split loses there — measured, ops.folding)."""
+        unet, params, x, t, ctx = self._setup()  # 3/8-channel contexts
+        contrib = unet.apply(params, None, None, ctx, precompute_ctx=True)
+        assert all(c is None for c in contrib)
+        got = unet.apply(params, x, t, ctx, ctx_contrib=contrib)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(unet.apply(params, x, t, ctx)))
+
     def test_ctx_hoist_folded_bf16_close(self):
         """Hoisting under the folded level-0 layout (contributions computed
         folded, consumed folded) stays bf16-close to the concat path."""
-        unet, params, x, t, ctx = self._setup()
+        unet, params, x, t, ctx = self._setup_wide_ctx()
         p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         x16, t16 = x.astype(jnp.bfloat16), t.astype(jnp.bfloat16)
         c16 = [c.astype(jnp.bfloat16) for c in ctx]
