@@ -118,7 +118,8 @@ class Unet(nn.Module):
             x.dtype == jnp.bfloat16 and x.shape[2] % 2 == 0 and num_resolutions > 1
         )
         l0_cin = self.channels + (self.context_channels if n_ctx > 0 else 0)
-        fold0 = foldable and folding.fold_l0_active(l0_cin, x.shape[1] * x.shape[2])
+        px0 = x.shape[1] * x.shape[2]
+        fold0 = foldable and folding.fold_l0_active(l0_cin, px0)
         hoisted = ctx_contrib is not None
         h = []
         for ind in range(num_resolutions):
@@ -174,7 +175,7 @@ class Unet(nn.Module):
             # resolution and its Upsample emits the full-resolution map:
             # fold it like level 0 (same lane-density argument)
             last_up = ind == len(up_pairs) - 1
-            foldu = foldable and folding.fold_up_active() and last_up
+            foldu = foldable and folding.fold_up_active(px0) and last_up
             fold_tail = foldable and folding.fold_head_active() and last_up
             x = jnp.concatenate([x, h.pop()], axis=-1)
             if foldu:

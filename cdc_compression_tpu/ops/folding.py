@@ -76,7 +76,7 @@ import jax
 import jax.numpy as jnp
 
 _FOLD_L0 = None  # None = auto (per-model), True/False = forced
-_FOLD_UP = False
+_FOLD_UP = None  # None = auto by resolution (see fold_up_active)
 _FOLD_HEAD = True
 # decode-time context hoisting (see enable_ctx_hoist)
 _CTX_HOIST = True
@@ -119,14 +119,19 @@ def fold_l0_active(l0_cin: int = 0, l0_pixels: int = 0) -> bool:
     return _FOLD_L0
 
 
-def enable_fold_up(on: bool) -> None:
-    """Toggle folding of the last up-stage resblocks/attention (same
-    trade-off as the down stage; default OFF, same reason)."""
+def enable_fold_up(on) -> None:
+    """Force folding of the last up-stage resblocks/attention on/off, or
+    pass None to restore the auto rule (fold once the full-resolution map
+    is >= FOLD_L0_AUTO_MIN_PIXELS). Same LN-tax trade-off as the down
+    stage: measured −6.7 ms/step at 2K (175.1 -> 168.4, round 3) but
+    +0.8 ms/step at 768x512 (PERF.md)."""
     global _FOLD_UP
-    _FOLD_UP = bool(on)
+    _FOLD_UP = None if on is None else bool(on)
 
 
-def fold_up_active() -> bool:
+def fold_up_active(pixels: int = 0) -> bool:
+    if _FOLD_UP is None:
+        return pixels >= FOLD_L0_AUTO_MIN_PIXELS
     return _FOLD_UP
 
 

@@ -172,7 +172,7 @@ class TestFoldedUnet:
     @staticmethod
     def _restore_defaults():
         folding.enable_fold_l0(None)  # auto by level-0 input width
-        folding.enable_fold_up(False)
+        folding.enable_fold_up(None)  # auto by resolution
         folding.enable_fold_head(True)
 
     def test_bf16_folded_close_to_unfolded(self):
