@@ -211,7 +211,7 @@ class GaussianDiffusion:
         return x_next
 
     def ddpm_step(self, params, sched, x, t, context, rng, clip_denoised,
-                  ctx_contrib=None):
+                  compute_dtype=None, ctx_contrib=None):
         """Correct ancestral DDPM step. The reference's DDPM branch crashes
         (posterior coeffs never registered, denoising_diffusion.py:111-116);
         this is the working capability it intended."""
@@ -219,8 +219,12 @@ class GaussianDiffusion:
         b = x.shape[0]
         tb = jnp.broadcast_to(t, (b,))
         t_in = self._denoise_time_input(sched, tb, b)
-        fx = self.unet.apply(params["unet"], x, t_in, context,
+        # cast like ddim_step: fp32 x against bf16 params would promote
+        # every conv back to fp32 (measured 28.3 vs 15.0 ms/step)
+        x_in = x if compute_dtype is None else x.astype(compute_dtype)
+        fx = self.unet.apply(params["unet"], x_in, t_in, context,
                              ctx_contrib=ctx_contrib)
+        fx = fx.astype(jnp.float32)
         if cfg.pred_mode == "noise":
             x_recon = self._predict_start_from_noise(sched, x, tb, fx)
         elif cfg.pred_mode == "x":
@@ -270,7 +274,6 @@ class GaussianDiffusion:
         ctx_contrib = None
         if (
             compute_dtype == jnp.bfloat16
-            and sample_mode == "ddim"  # ddpm passes fp32 x; layouts must agree
             and len(context) > 0
             and folding.ctx_hoist_active()
             and isinstance(getattr(self.unet, "context_dim_mults", None), (list, tuple))
@@ -287,7 +290,7 @@ class GaussianDiffusion:
                             compute_dtype=compute_dtype, ctx_contrib=ctx_contrib)
             else:
                 x = step_fn(params, sched, x, t, context, sub, clip_denoised,
-                            ctx_contrib=ctx_contrib)
+                            compute_dtype=compute_dtype, ctx_contrib=ctx_contrib)
             return (x, key), None
 
         ts = jnp.arange(steps - 1, -1, -1)
