@@ -111,10 +111,10 @@ class TestTrainer:
         size stays within 2% of the analytic bpp, trained or not, (c)
         decode from the bitstream runs on the trained weights.
 
-        The flagship-scale version of this loop (dim=64, 120k steps, real
+        The flagship-scale version of this loop (dim=64, 155k steps, real
         Kodak, TPU) is recorded in PERF.md ("Flagship training run + the
-        repo's first real RD point"): 0.105 bpp / 20.99 dB from real
-        bitstreams, real-vs-analytic bpp +0.53%."""
+        repo's first real RD point"): 0.105 bpp / 22.0 dB from real
+        bitstreams, real-vs-analytic bpp +0.6%."""
         import jax.numpy as jnp
 
         from cdc_compression_tpu.entropy.codec import ImageCodec
