@@ -238,6 +238,15 @@ class TestFoldedUnet:
         finally:
             folding.enable_fold_l0(None)
         assert folding.fold_l0_active(67)
+        # fold_up auto rule (round 3): folds the last up stage only at
+        # high resolution (−6.7 ms/step at 2K, +0.8 at 768x512 — PERF.md)
+        assert not folding.fold_up_active(768 * 512)
+        assert folding.fold_up_active(2048 * 1536)
+        folding.enable_fold_up(True)
+        try:
+            assert folding.fold_up_active(0)
+        finally:
+            folding.enable_fold_up(None)
 
     def test_x_family_bf16_decode_with_auto_fold(self):
         """x-family bf16 decode exercises the auto-folded level 0 end to
