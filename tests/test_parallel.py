@@ -105,6 +105,36 @@ class TestTileParallel:
         scale = max(1.0, float(np.abs(w).max()))
         assert float(np.abs(g - w).max()) < 0.05 * scale
 
+    def test_tile_sharded_bf16_decode_with_ctx_hoist(self, mesh8):
+        """The context-hoisted bf16 decode (x-family wide contexts) must
+        partition under the (data, tile) mesh: the hoisted contribution
+        convs run once outside the scan on SHARDED context and their
+        outputs feed the sharded loop body."""
+        from cdc_compression_tpu.ops import folding
+        from cdc_compression_tpu.utils.presets import init_params, x_family
+
+        engine = x_family(dim=16, num_timesteps=32, aux_loss_weight=0.0)
+        params = init_params(engine, 0, image_hw=(64, 64))
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-1, maxval=1)
+        init = jax.random.normal(jax.random.PRNGKey(2), x.shape) * 0.8
+        assert folding.ctx_hoist_active()
+
+        want, _ = jax.jit(
+            lambda p, im: engine.compress(p, im, sample_steps=1, rng=rng, init=init,
+                                          compute_dtype=jnp.bfloat16,
+                                          bpp_return_mean=False)
+        )(params, x)
+        decode = tile_decode_fn(engine, mesh8, sample_steps=1,
+                                compute_dtype=jnp.bfloat16)
+        with mesh8:
+            got, _ = decode(params, x, rng, init)
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        assert np.isfinite(g).all()
+        scale = max(1.0, float(np.abs(w).max()))
+        assert float(np.abs(g - w).max()) < 0.05 * scale
+
     def test_attention_exact_under_spatial_sharding(self, mesh8):
         """LinearAttention's global softmax + KV summary must be exact when
         H is sharded (psum path)."""
