@@ -14,10 +14,21 @@ Robustness (round-2 hardening, VERDICT item 1): wall-clock through the
 axon tunnel drifts ±10% run-to-run and a single timed window can be
 several-fold off (round 1's driver capture was 6.7x low). So this
 script (a) warms the tunnel with untimed reps, (b) times WINDOWS
-independent windows and reports the MEDIAN as `value` (best window in
+independent windows (median in `wall_steps_per_s`, best in
 `wall_best_steps_per_s`), and (c) captures device self-time per step
-from an xprof trace (`device_ms_per_step`) — the tunnel-immune truth
-`tools/hlo_breakdown.py` uses for optimization decisions.
+from xprof traces — the tunnel-immune truth `tools/hlo_breakdown.py`
+uses for optimization decisions.
+
+Round-3 change (VERDICT r2 weak item 5): the headline `value` is now
+**device-anchored** — steps/s implied by the median per-step device
+self-time over DEV_TRACES independent traces — because the wall figure
+under-reported device capability by ~17% and drifted ±10% between
+driver captures of identical programs. `vs_baseline` is the ratio to
+the round-2 driver capture of the same device metric
+(`BENCH_r02.json: device 15.162 ms/step`), the earliest device-anchored
+record. Wall numbers stay in the JSON for dispatch-health tracking. If
+tracing is unavailable the script falls back to the wall median against
+the original wall anchor and says so in `anchor`.
 """
 
 from __future__ import annotations
@@ -27,12 +38,14 @@ import os
 import statistics
 import time
 
-# first-round TPU measurement (v5e, 2026-08-17); later rounds show
-# speedup vs this anchor
-ANCHOR_STEPS_PER_S = 40.015
+# first-round TPU wall measurement (v5e, 2026-08-17) — fallback anchor
+ANCHOR_WALL_STEPS_PER_S = 40.015
+# round-2 driver capture, device self-time per denoise step (ms)
+ANCHOR_DEVICE_MS_PER_STEP = 15.162
 
-WINDOWS = 7  # independent timed windows; median reported
+WINDOWS = 7  # independent timed wall windows; median reported
 REPS = 5  # chained decodes per window
+DEV_TRACES = 3  # independent xprof traces; median device time reported
 
 
 def _device_ms_per_step(run_fn, steps: int) -> float | None:
@@ -120,18 +133,32 @@ def main():
         wall.append(REPS * STEPS / (time.perf_counter() - t0))
 
     med = statistics.median(wall)
-    dev_ms = _device_ms_per_step(lambda: window(3, x), steps=3 * STEPS)
+    dev = [
+        d
+        for _ in range(DEV_TRACES)
+        if (d := _device_ms_per_step(lambda: window(3, x), steps=3 * STEPS)) is not None
+    ]
+    dev_ms = statistics.median(dev) if dev else None
 
     out = {
-        "metric": "kodak768x512_ddim17_bf16_denoise_steps_per_s",
-        "value": round(med, 3),
+        "metric": "kodak768x512_ddim17_bf16_device_denoise_steps_per_s",
         "unit": "steps/s",
-        "vs_baseline": round(med / ANCHOR_STEPS_PER_S, 3),
+        "wall_steps_per_s": round(med, 3),
         "wall_best_steps_per_s": round(max(wall), 3),
         "wall_spread_pct": round(100.0 * (max(wall) - min(wall)) / med, 1),
         "windows": WINDOWS,
         "device_ms_per_step": round(dev_ms, 3) if dev_ms is not None else None,
+        "device_traces": len(dev),
     }
+    if dev_ms is not None:
+        out["value"] = round(1000.0 / dev_ms, 3)
+        out["vs_baseline"] = round(ANCHOR_DEVICE_MS_PER_STEP / dev_ms, 3)
+        out["anchor"] = "device: BENCH_r02 15.162 ms/step"
+    else:
+        out["metric"] = "kodak768x512_ddim17_bf16_denoise_steps_per_s"
+        out["value"] = round(med, 3)
+        out["vs_baseline"] = round(med / ANCHOR_WALL_STEPS_PER_S, 3)
+        out["anchor"] = "wall: first TPU run 40.015 steps/s (tracing unavailable)"
     print(json.dumps(out))
 
 
