@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     # training
     p.add_argument("--lr", type=float, default=4e-5)
     p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
-    p.add_argument("--n_step", type=int, default=1_000_000)
+    p.add_argument("--n_step", type=int, default=1_000_000,
+                   help="number of train steps to run; RELATIVE to the "
+                        "restored step when resuming with --load_idx")
     p.add_argument("--scheduler_checkpoint_step", type=int, default=100_000)
     p.add_argument("--decay", type=float, default=0.9)
     p.add_argument("--minf", type=float, default=0.5)
