@@ -47,42 +47,50 @@ def build_parser():
     return p
 
 
-def load_params(args, engine):
+def load_params(ckpt, engine, use_ema: bool = False):
+    """Load a param tree from a .pt/.pth (converted), .npz, or Trainer
+    orbax dir; `use_ema` picks the EMA tree where one exists."""
     import jax
     import numpy as np
 
     from ..utils.presets import init_params
 
-    if args.ckpt is None:
+    if ckpt is None:
         print("WARNING: no --ckpt, using random init")
         return init_params(engine, 0, (256, 256))
     import os
 
-    if os.path.isdir(args.ckpt):
+    if os.path.isdir(ckpt):
         # Trainer orbax checkpoint dir ({model_name}_{idx}, or its `state`
-        # subdir). --use_ema picks the EMA param tree — the path the
+        # subdir). use_ema picks the EMA param tree — the path the
         # reference bootstraps distillation from (distill_trainer.py:100-108)
         # and x-family inference uses (test_xparam.py:66-68).
         import orbax.checkpoint as ocp
 
-        path = os.path.abspath(args.ckpt)
+        path = os.path.abspath(ckpt)
         if os.path.isdir(os.path.join(path, "state")):
             path = os.path.join(path, "state")
         payload = ocp.StandardCheckpointer().restore(path)
-        if args.use_ema:
+        if use_ema == "auto":
+            # EMA when the checkpoint has one: the shipped inference
+            # contract for trained models (xparam/test_xparam.py:66-68),
+            # and measurably better on this repo's own flagship run
+            # (PERF.md: 200k raw 17.5 dB vs EMA 24.3 dB).
+            use_ema = "ema" in payload
+        if use_ema:
             if "ema" not in payload:
-                raise ValueError(f"--use_ema set but checkpoint {args.ckpt} has no EMA tree")
+                raise ValueError(f"use_ema set but checkpoint {ckpt} has no EMA tree")
             return payload["ema"]["params"]
         return payload["params"]
-    if args.ckpt.endswith(".pt") or args.ckpt.endswith(".pth"):
+    if ckpt.endswith(".pt") or ckpt.endswith(".pth"):
         import torch
 
         from ..utils.convert import convert_diffusion_checkpoint
 
-        loaded = torch.load(args.ckpt, map_location="cpu")
-        sd = loaded.get("ema" if args.use_ema else "model", loaded)
+        loaded = torch.load(ckpt, map_location="cpu")
+        sd = loaded.get("ema" if use_ema else "model", loaded)
         return convert_diffusion_checkpoint(sd, embd_type=engine.cfg.embd_type)
-    loaded = np.load(args.ckpt, allow_pickle=True)
+    loaded = np.load(ckpt, allow_pickle=True)
     return jax.tree.map(lambda a: a, loaded["params"].item())
 
 
@@ -108,7 +116,7 @@ def main(argv=None):
     if args.vbr and scale is None:
         scale = 0.5
 
-    params = load_params(args, engine)
+    params = load_params(args.ckpt, engine, use_ema=args.use_ema)
     codec = ImageCodec(engine, params)
     out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -43,11 +43,7 @@ def main(argv=None):
     fam = epsilon_family if args.family == "epsilon" else x_family
     engine = fam(dim=args.dim, aux_loss_weight=0.0)
 
-    class A:
-        ckpt = args.ckpt
-        use_ema = args.use_ema
-
-    params = load_params(A, engine)
+    params = load_params(args.ckpt, engine, use_ema=args.use_ema)
     ds = load_dataset(args.dataset, args.data_path, train=True, img_size=args.img_size)
     data_iter = iter(Loader(ds, args.batch_size, host_id=jax.process_index(),
                             num_hosts=jax.process_count()))

@@ -18,14 +18,22 @@ import pathlib
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=["epsilon", "x"], default="x")
+    p.add_argument("--family", choices=["epsilon", "x"], required=True,
+                   help="model family of the checkpoints (no default: the "
+                        "wrong family silently produces garbage RD numbers)")
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--ckpts", nargs="+", required=True,
                    help="label=path pairs, one per rate point")
     p.add_argument("--img_dir", required=True)
     p.add_argument("--n_denoise_step", type=int, default=17)
     p.add_argument("--gamma", type=float, default=0.8)
-    p.add_argument("--use_ema", action="store_true")
+    ema = p.add_mutually_exclusive_group()
+    ema.add_argument("--use_ema", action="store_true", default=None,
+                     help="force the EMA tree (error if absent)")
+    ema.add_argument("--raw_params", action="store_true",
+                     help="force raw params; default is EMA when the "
+                          "checkpoint has one (the shipped inference "
+                          "contract, xparam/test_xparam.py:66-68)")
     p.add_argument("--lpips_path", default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--out", default="rd_curve.json")
@@ -60,12 +68,8 @@ def main(argv=None):
         label, _, path = pair.partition("=")
         fam = epsilon_family if args.family == "epsilon" else x_family
         engine = fam(dim=args.dim, aux_loss_weight=0.0)
-
-        class A:  # adapt to load_params signature
-            ckpt = path
-            use_ema = args.use_ema
-
-        params = load_params(A, engine)
+        use_ema = True if args.use_ema else (False if args.raw_params else "auto")
+        params = load_params(path, engine, use_ema=use_ema)
         codec = ImageCodec(engine, params)
         dtype = jnp.bfloat16 if args.bf16 else None
 
@@ -100,7 +104,7 @@ def main(argv=None):
         results.append(point)
         print(label, point["mean"])
 
-    pathlib.Path(args.out).write_text(json.dumps(results, indent=1))
+    pathlib.Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
     print(f"wrote {args.out}")
 
 

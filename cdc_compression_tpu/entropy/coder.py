@@ -161,7 +161,13 @@ def decode_symbols(data: bytes, indexes: np.ndarray, table: CdfTable) -> np.ndar
 # table builders for the two streams
 # ---------------------------------------------------------------------------
 
-SCALES_MIN = 0.11
+# Table floor == the compressor's conditional-scale clamp (`models/
+# compressor.py` NormalParams scale >= 0.1, matching the reference's
+# `scale.clamp(min=0.1)`, epsilonparam/modules/compress_modules.py:65).
+# compressai's released table starts at 0.11, but pairing a 0.11 table
+# floor with a 0.1 model clamp would code every scale in [0.1, 0.11)
+# against a mismatched wider CDF; 0.1 keeps the table and clamp aligned.
+SCALES_MIN = 0.1
 SCALES_MAX = 256.0
 SCALES_LEVELS = 64
 

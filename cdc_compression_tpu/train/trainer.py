@@ -240,6 +240,11 @@ class Trainer:
 
     # -- outer loop -----------------------------------------------------
     def train(self, state: State, rng: jax.Array, num_steps: Optional[int] = None) -> State:
+        """Run `n` MORE steps from the restored step. Deliberate divergence
+        from the reference trainer, whose `train_num_steps` is an absolute
+        stop target after load() (`epsilonparam/modules/trainer.py:124`,
+        `while self.step < self.train_num_steps`): a relative count makes
+        "extend this run by N" resumable without recomputing targets."""
         cfg = self.cfg
         n = cfg.n_steps if num_steps is None else num_steps
         step0 = int(state.step)

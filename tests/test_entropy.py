@@ -69,6 +69,25 @@ class TestRoundTrip:
         assert coded_bits < bits * 1.02 + 64 * 8
         assert coded_bits > bits * 0.98
 
+    def test_scale_table_floor_matches_compressor_clamp(self, lib):
+        """The table floor must equal the compressor's conditional-scale
+        clamp (`models/compressor.py` scale >= 0.1, matching the
+        reference's clamp(min=0.1), compress_modules.py:65): a 0.11
+        floor would code scales in [0.1, 0.11) against a wider CDF."""
+        t = coder.scale_table()
+        assert abs(t[0] - 0.1) < 1e-12
+        # every clamped scale maps to a table scale >= it (compressai
+        # convention) and round-trips at the boundary band
+        rng = np.random.RandomState(0)
+        for s in (0.1, 0.105, 0.11):
+            scales = np.full(2000, s)
+            idx = coder.scale_indexes(scales)
+            assert (t[idx] >= scales - 1e-12).all()
+            x = np.round(rng.randn(2000) * s).astype(np.int32)
+            table = coder.build_gaussian_tables()
+            data = coder.encode_symbols(x, idx, table)
+            np.testing.assert_array_equal(coder.decode_symbols(data, idx, table), x)
+
     def test_empty_and_single(self, lib):
         table = coder.CdfTable.from_pmfs([np.array([0.5, 0.5])], offsets=[0])
         symbols = np.array([1], np.int32)

@@ -217,6 +217,38 @@ class TestTrainer:
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_load_params_ema_auto(self, tmp_path):
+        """`load_params(..., use_ema="auto")` picks the EMA tree when one
+        exists (the shipped inference contract, xparam/test_xparam.py:66-68)
+        and falls back to raw params on EMA-less checkpoints; forcing
+        use_ema=True on the latter raises."""
+        from cdc_compression_tpu.cli.compress import load_params
+
+        flat = lambda t: np.concatenate(
+            [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(t)]
+        )
+        engine = tiny_engine()
+        cfg = TrainConfig(results_dir=str(tmp_path), use_ema=True, model_name="m")
+        trainer = Trainer(engine, cfg, train_iter=batches())
+        state = trainer.init_state(tiny_params(engine))
+        state, _ = trainer.train_step(state, next(batches()), jax.random.PRNGKey(0))
+        trainer.save(state)
+        ck = str(tmp_path / "m_0")
+        np.testing.assert_array_equal(
+            flat(load_params(ck, engine, use_ema="auto")),
+            flat(load_params(ck, engine, use_ema=True)),
+        )
+        cfg2 = TrainConfig(results_dir=str(tmp_path), use_ema=False, model_name="n")
+        trainer2 = Trainer(engine, cfg2, train_iter=batches())
+        state2 = trainer2.init_state(tiny_params(engine))
+        trainer2.save(state2)
+        ck2 = str(tmp_path / "n_0")
+        np.testing.assert_array_equal(
+            flat(load_params(ck2, engine, use_ema="auto")), flat(state2.params)
+        )
+        with pytest.raises(ValueError):
+            load_params(ck2, engine, use_ema=True)
+
 
 class TestDistill:
     def test_distill_loss_and_round(self):

@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("ckpt")
+    p.add_argument("--family", choices=["epsilon", "x"], default="epsilon")
+    p.add_argument("--dim", type=int, default=64)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--steps", type=int, default=17)
     p.add_argument("--img_dir", default="/root/reference/imgs")
@@ -37,15 +39,11 @@ def main():
     from cdc_compression_tpu.cli.compress import load_params
     from cdc_compression_tpu.entropy.codec import ImageCodec
     from cdc_compression_tpu.utils.metrics import ms_ssim, psnr
-    from cdc_compression_tpu.utils.presets import epsilon_family
+    from cdc_compression_tpu.utils.presets import epsilon_family, x_family
 
-    engine = epsilon_family(aux_loss_weight=0.0)
-
-    class A:
-        ckpt = args.ckpt
-        use_ema = args.use_ema
-
-    params = load_params(A, engine)
+    fam = epsilon_family if args.family == "epsilon" else x_family
+    engine = fam(dim=args.dim, aux_loss_weight=0.0)
+    params = load_params(args.ckpt, engine, use_ema=args.use_ema)
     codec = ImageCodec(engine, params)
     rows = []
     analytic_jit = jax.jit(
@@ -86,7 +84,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"images": rows, "mean": mean,
                        "ckpt": args.ckpt, "use_ema": args.use_ema,
-                       "steps": args.steps}, f, indent=1)
+                       "steps": args.steps, "family": args.family}, f, indent=1)
+            f.write("\n")
         print("wrote", args.out)
 
 
