@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results_dir", default="./results")
     p.add_argument("--tensorboard_dir", default=None)
     p.add_argument("--load_idx", type=int, default=None)
+    p.add_argument("--init_from", default=None,
+                   help="bootstrap params from another run's checkpoint dir "
+                        "(fresh optimizer/step/EMA — for fine-tuning, e.g. at "
+                        "a new --beta); unlike --load_idx this does NOT "
+                        "resume the optimizer or step counter")
+    p.add_argument("--init_from_ema", action="store_true",
+                   help="bootstrap from the EMA tree of --init_from (the "
+                        "best params of a converged run)")
     p.add_argument("--lpips_path", default=None,
                    help="converted LPIPS weights (.npz); random init if absent")
     # parallel
@@ -219,6 +227,13 @@ def main(argv=None):
                       device_images=device_images, batch_size=args.batch_size,
                       crop_size=args.img_size, hflip=args.hflip)
     params = init_params(engine, 0, (args.img_size, args.img_size))
+    if args.init_from:
+        from .compress import load_params
+
+        params = load_params(args.init_from, engine,
+                             use_ema=args.init_from_ema)
+        print(f"bootstrapped params from {args.init_from} "
+              f"({'EMA' if args.init_from_ema else 'raw'} tree)")
     if args.ae_path:
         from flax import serialization
 

@@ -373,8 +373,13 @@ class Block(nn.Module):
             x = conv(x, folded=True, cin_total=cin_total)
             if conv_extra is not None:
                 x = x + conv_extra.astype(x.dtype)
-            x = norm(x, folded=True)
-            x = nn.relu(x)
+            if pallas_kernels.folded_ln_active(x):
+                # LN + ReLU ride the one-pass folded-LN kernel
+                g, b = norm(x, params_only=True, folded=True)
+                x = pallas_kernels.fused_folded_layernorm(x, g, b, relu=True)
+            else:
+                x = norm(x, folded=True)
+                x = nn.relu(x)
             if residual is not None:
                 x = x + residual.astype(x.dtype)
             return x

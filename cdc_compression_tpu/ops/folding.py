@@ -305,6 +305,10 @@ def folded_layer_norm(x, g, b, eps: float = 1e-5):
     C lanes and the squares of bf16 inputs are exact in fp32). g/b are
     the unfolded (C,) affine parameters.
     """
+    from . import pallas_kernels
+
+    if pallas_kernels.folded_ln_active(x):
+        return pallas_kernels.fused_folded_layernorm(x, g, b, eps=eps)
     c2 = x.shape[-1]
     c = c2 // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (1,) * (x.ndim - 1) + (c2,), x.ndim - 1)

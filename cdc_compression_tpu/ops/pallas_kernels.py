@@ -439,3 +439,145 @@ def fused_head(
         ),
         interpret=interpret,
     )(windows, gamma, beta, wf, bias_arr)
+
+
+# ---------------------------------------------------------------------------
+# folded LayerNorm (round 4): one-pass stats+normalize(+ReLU) on the
+# width-folded 128-lane layout
+# ---------------------------------------------------------------------------
+#
+# Why this one gets a Pallas kernel when the unfolded LN epilogue lost
+# (header log): for the PLAIN 64-channel LN, XLA fuses the whole
+# stats+normalize into the producing conv's epilogue (~0.05 ms/instance)
+# and a pallas_call boundary only breaks that fusion. For the FOLDED
+# (…, 2C) LN, XLA demonstrably canNOT fuse the two-half statistics pass
+# into the producer (measured ~0.33 ms/instance at 768x512 and ~2.6 ms
+# at 2K — the dominant residual of the 2K perf bar, PERF.md "Perf-bar
+# accounting"), so the boundary costs nothing and a single VMEM pass
+# (read bf16 once, 4 lane-reductions, normalize, optional ReLU, write
+# once) replaces XLA's separate stats + normalize HBM passes.
+
+_FOLDED_LN = False
+
+
+def enable_folded_ln(on: bool) -> None:
+    """Route `folding.folded_layer_norm` (and the folded Block's LN+ReLU)
+    through the one-pass Pallas kernel on the TPU bf16 path."""
+    global _FOLDED_LN
+    _FOLDED_LN = bool(on)
+
+
+def folded_ln_active(x: Optional[jax.Array] = None) -> bool:
+    # "axon" is the tunneled-TPU platform name on the dev box
+    if not (_FOLDED_LN and jax.default_backend() in ("tpu", "axon")):
+        return False
+    if x is None:
+        return True
+    return x.dtype == jnp.bfloat16 and x.shape[-1] == 128
+
+
+def _folded_ln_kernel(y_ref, gb_ref, o_ref, *, eps: float, relu: bool):
+    y = y_ref[0].astype(jnp.float32)  # (th, W, 2C)
+    c2 = y.shape[-1]
+    c = c2 // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c2), 2)
+    is_lo = lane < c
+    sgn = jnp.where(is_lo, 1.0, -1.0)
+    s1 = jnp.sum(y, -1, keepdims=True)
+    d1 = jnp.sum(y * sgn, -1, keepdims=True)
+    sq = y * y
+    s2 = jnp.sum(sq, -1, keepdims=True)
+    d2 = jnp.sum(sq * sgn, -1, keepdims=True)
+    m = jnp.where(is_lo, s1 + d1, s1 - d1) / (2 * c)
+    ex2 = jnp.where(is_lo, s2 + d2, s2 - d2) / (2 * c)
+    var = jnp.maximum(ex2 - m * m, 0.0)
+    out = (y - m) * jax.lax.rsqrt(var + eps)
+    out = out * gb_ref[0][None, None, :] + gb_ref[1][None, None, :]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _folded_ln_call(x, gb, eps: float, relu: bool, interpret: bool):
+    b, h, w, c2 = x.shape
+    th = _pick_ln_tile(h, w, c2, x.dtype.itemsize)
+    kernel = functools.partial(_folded_ln_kernel, eps=eps, relu=relu)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, w, c2), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((2, c2), lambda bi, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c2), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c2), x.dtype),
+        interpret=interpret,
+    )(x, gb)
+
+
+def _folded_ln_ref(x, gb, eps: float, relu: bool):
+    """Pure-XLA twin of the kernel math (used for the custom VJP): the
+    same per-half statistics as `folding.folded_layer_norm`, with the
+    affine params pre-tiled into gb."""
+    c2 = x.shape[-1]
+    c = c2 // 2
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (x.ndim - 1) + (c2,), x.ndim - 1
+    )
+    is_lo = lane < c
+    x32 = x.astype(jnp.float32)
+    sgn = jnp.where(is_lo, 1.0, -1.0)
+    s1 = jnp.sum(x32, -1, keepdims=True)
+    d1 = jnp.sum(x32 * sgn, -1, keepdims=True)
+    sq = jnp.square(x32)
+    s2 = jnp.sum(sq, -1, keepdims=True)
+    d2 = jnp.sum(sq * sgn, -1, keepdims=True)
+    m = jnp.where(is_lo, s1 + d1, s1 - d1) / (2 * c)
+    ex2 = jnp.where(is_lo, s2 + d2, s2 - d2) / (2 * c)
+    var = jnp.maximum(ex2 - jnp.square(m), 0.0)
+    y = (x32 - m) * jax.lax.rsqrt(var + eps)
+    y = y * gb[0] + gb[1]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _folded_ln(x, gb, eps, relu, interpret):
+    return _folded_ln_call(x, gb, eps, relu, interpret)
+
+
+def _folded_ln_fwd(x, gb, eps, relu, interpret):
+    return _folded_ln_call(x, gb, eps, relu, interpret), (x, gb)
+
+
+def _folded_ln_bwd(eps, relu, interpret, res, ct):
+    x, gb = res
+    _, vjp = jax.vjp(lambda x_, gb_: _folded_ln_ref(x_, gb_, eps, relu), x, gb)
+    return vjp(ct)
+
+
+_folded_ln.defvjp(_folded_ln_fwd, _folded_ln_bwd)
+
+
+def fused_folded_layernorm(
+    x: jax.Array,
+    g: jax.Array,
+    b: jax.Array,
+    *,
+    eps: float = 1e-5,
+    relu: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Channelwise LayerNorm of the unfolded C channels on width-folded
+    (B, H, W/2, 2C) data — statistics, normalize, affine and optional
+    ReLU in ONE Pallas HBM pass (vs XLA's separate stats + normalize
+    fusions on this layout). g/b are the unfolded (C,) affine params.
+    Differentiable: the VJP runs the pure-XLA twin (`_folded_ln_ref`),
+    so the folded bf16 TRAIN path keeps working when this is enabled.
+    Numerics match `folding.folded_layer_norm` (+`nn.relu`) exactly —
+    asserted in tests/test_pallas.py in interpret mode."""
+    from . import folding
+
+    gb = jnp.stack([folding.tile2(g), folding.tile2(b)]).astype(jnp.float32)
+    return _folded_ln(x, gb, eps, relu, interpret)

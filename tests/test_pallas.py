@@ -276,3 +276,66 @@ class TestFusedHead:
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=5e-2, atol=5e-2,
         )
+
+
+class TestFusedFoldedLayerNorm:
+    """One-pass folded-LN kernel vs `folding.folded_layer_norm` (+ReLU)."""
+
+    @pytest.mark.parametrize("c,h,w,relu", [(8, 8, 16, False), (16, 16, 8, True)])
+    def test_matches_folding_math(self, c, h, w, relu):
+        from cdc_compression_tpu.ops import folding
+        from cdc_compression_tpu.ops.pallas_kernels import fused_folded_layernorm
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, h, w, 2 * c), jnp.float32)
+        g = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        want = folding.folded_layer_norm(x, g, b)
+        if relu:
+            want = jnp.maximum(want, 0.0)
+        got = fused_folded_layernorm(x, g, b, relu=relu, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def test_bf16_matches_and_halves_match_unfolded_ln(self):
+        """bf16 kernel output == the folded-XLA path, and both equal the
+        plain per-pixel LN of the unfolded tensor (the fold invariant)."""
+        from cdc_compression_tpu.ops import folding
+        from cdc_compression_tpu.ops.pallas_kernels import fused_folded_layernorm
+
+        rng = np.random.RandomState(1)
+        c, h, w = 16, 8, 8
+        xu = rng.randn(1, h, 2 * w, c).astype(np.float32)
+        x = jnp.asarray(xu.reshape(1, h, w, 2 * c), jnp.bfloat16)
+        g = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        want = folding.folded_layer_norm(x, g, b)
+        got = fused_folded_layernorm(x, g, b, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_vjp_matches_xla_path(self):
+        """The custom VJP (pure-XLA twin) must match grads of the folding
+        math so the folded bf16 train path stays correct when enabled."""
+        from cdc_compression_tpu.ops import folding
+        from cdc_compression_tpu.ops.pallas_kernels import fused_folded_layernorm
+
+        rng = np.random.RandomState(2)
+        c, h, w = 8, 4, 8
+        x = jnp.asarray(rng.randn(1, h, w, 2 * c), jnp.float32)
+        g = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+
+        def loss_ref(x, g, b):
+            y = jnp.maximum(folding.folded_layer_norm(x, g, b), 0.0)
+            return jnp.sum(y * y)
+
+        def loss_pallas(x, g, b):
+            y = fused_folded_layernorm(x, g, b, relu=True, interpret=True)
+            return jnp.sum(y * y)
+
+        gw = jax.grad(loss_ref, argnums=(0, 1, 2))(x, g, b)
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, g, b)
+        for a, bb in zip(gw, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5)

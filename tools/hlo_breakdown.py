@@ -93,6 +93,9 @@ def _main():
                    help="fold Downsample inputs (default on — measured win)")
     p.add_argument("--ctx_hoist", choices=["on", "off"], default="on",
                    help="hoist loop-invariant context convs out of the scan")
+    p.add_argument("--folded_ln", choices=["on", "off"], default="off",
+                   help="route folded LayerNorms through the one-pass "
+                        "Pallas kernel (ops.pallas_kernels.enable_folded_ln)")
     args = p.parse_args()
 
     import sys
@@ -114,6 +117,10 @@ def _main():
         folding.enable_fold_up(True)
     folding.enable_fold_downsample(args.fold_downsample == "on")
     folding.enable_ctx_hoist(args.ctx_hoist == "on")
+    if args.folded_ln == "on":
+        from cdc_compression_tpu.ops import pallas_kernels
+
+        pallas_kernels.enable_folded_ln(True)
     H, W = args.hw
     if args.train:
         from cdc_compression_tpu.train.trainer import TrainConfig, Trainer
