@@ -29,6 +29,15 @@ def main(argv=None):
     p.add_argument("--kiter", type=int, default=3)
     p.add_argument("--steps_per_round", type=int, default=10_000)
     p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 activations (mixed-precision trainer parity)")
+    p.add_argument("--hflip", action="store_true")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="student updates per dispatched program (lax.scan)")
+    p.add_argument("--on_device_data", action="store_true",
+                   help="upload the (small, equal-size) dataset once and "
+                        "sample crops inside the compiled step — required "
+                        "for long TPU runs (axon input-transfer leak)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -44,12 +53,30 @@ def main(argv=None):
     engine = fam(dim=args.dim, aux_loss_weight=0.0)
 
     params = load_params(args.ckpt, engine, use_ema=args.use_ema)
-    ds = load_dataset(args.dataset, args.data_path, train=True, img_size=args.img_size)
-    data_iter = iter(Loader(ds, args.batch_size, host_id=jax.process_index(),
-                            num_hosts=jax.process_count()))
+    data_iter = None
+    device_images = None
+    if args.on_device_data:
+        import pathlib
+
+        from PIL import Image
+
+        files = sorted(p for p in pathlib.Path(args.data_path).rglob("*")
+                       if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+        imgs = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+                for f in files]
+        device_images = np.stack(imgs)
+        print(f"on-device data bank: {device_images.shape}")
+    else:
+        ds = load_dataset(args.dataset, args.data_path, train=True,
+                          img_size=args.img_size)
+        data_iter = iter(Loader(ds, args.batch_size, host_id=jax.process_index(),
+                                num_hosts=jax.process_count()))
     out = distill(
         engine, params, data_iter,
         kiter=args.kiter, steps_per_round=args.steps_per_round, lr=args.lr,
+        device_images=device_images, batch_size=args.batch_size,
+        crop_size=args.img_size, hflip=args.hflip, bf16=args.bf16,
+        steps_per_call=args.steps_per_call,
     )
     np.savez(args.out, params=np.asarray(jax.tree.map(np.asarray, out), dtype=object))
     print(f"wrote {args.out}")

@@ -124,32 +124,96 @@ class DistillDiffusion:
 def distill(
     engine: GaussianDiffusion,
     params: Dict[str, Any],
-    data_iter,
+    data_iter=None,
     *,
     kiter: int = 3,
     steps_per_round: int = 1000,
     lr: float = 4e-5,
     rng=None,
+    device_images=None,
+    batch_size: int = 4,
+    crop_size: int = 256,
+    hflip: bool = True,
+    bf16: bool = False,
+    steps_per_call: int = 1,
+    log_every: int = 500,
 ):
     """Outer loop (`distill_trainer.py:118-175`): for each k round copy
     teacher->student, train the student at stride 2^k, then promote.
-    Returns the final distilled params tree."""
+    Returns the final distilled params tree.
+
+    Two data paths, mirroring the Trainer: `data_iter` (host batches in
+    [0,1]) for small/CPU runs, or `device_images` ((N,H,W,C) in [0,1])
+    to keep the bank on device and sample crops inside the compiled
+    round step — required for long TPU runs here (the axon client leaks
+    every host input transfer, CLAUDE.md). `steps_per_call` scans K
+    student updates per dispatched program; `bf16` casts the batch so
+    the networks run in bf16 like the mixed-precision trainer."""
     import optax
 
+    assert (data_iter is None) != (device_images is None), (
+        "pass exactly one of data_iter / device_images"
+    )
     rng = jax.random.PRNGKey(0) if rng is None else rng
     dd = DistillDiffusion(engine)
     teacher = {"unet": params["unet"]}
     compressor = params["compressor"]
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if device_images is not None:
+        device_images = jnp.asarray(device_images, jnp.float32)
+
     for k in range(kiter):
         student = jax.tree.map(lambda a: a, teacher)  # copy teacher -> student
         opt = optax.adam(lr)
         opt_state = opt.init(student)
-        step = dd.make_round_step(opt, k)
-        for _ in range(steps_per_round):
-            images = jnp.asarray(next(data_iter)) * 2.0 - 1.0
-            rng, sub = jax.random.split(rng)
-            student, opt_state, loss = step(
-                student, opt_state, teacher, compressor, images, sub
-            )
+
+        if device_images is None:
+            step = dd.make_round_step(opt, k)
+            for i in range(steps_per_round):
+                images = jnp.asarray(next(data_iter), dtype) * 2.0 - 1.0
+                rng, sub = jax.random.split(rng)
+                student, opt_state, loss = step(
+                    student, opt_state, teacher, compressor, images, sub
+                )
+                if log_every and (i + 1) % log_every == 0:
+                    print(f"round k={k} step {i + 1}: loss={float(loss):.4g}",
+                          flush=True)
+        else:
+            from ..train.trainer import sample_crop_batch
+
+            K = max(1, steps_per_call)
+
+            @jax.jit
+            def multi_step(student, opt_state, teacher, comp, rngs):
+                def body(carry, r):
+                    sp, os_ = carry
+                    k_data, k_loss = jax.random.split(r)
+                    images = sample_crop_batch(
+                        device_images, k_data, batch_size, crop_size, hflip
+                    ).astype(dtype) * 2.0 - 1.0
+
+                    def lf(sp_):
+                        return dd.loss(sp_, teacher, comp, images, k, k_loss)
+
+                    loss, grads = jax.value_and_grad(lf)(sp)
+                    updates, os2 = opt.update(grads, os_, sp)
+                    return (optax.apply_updates(sp, updates), os2), loss
+
+                (student, opt_state), losses = jax.lax.scan(
+                    body, (student, opt_state), rngs
+                )
+                return student, opt_state, losses[-1]
+
+            i = 0
+            while i < steps_per_round:
+                keys = jax.random.split(rng, K + 1)
+                rng = keys[0]
+                student, opt_state, loss = multi_step(
+                    student, opt_state, teacher, compressor, keys[1:]
+                )
+                i += K
+                if log_every and i % log_every < K:
+                    print(f"round k={k} step {i}: loss={float(loss):.4g}",
+                          flush=True)
         teacher = student  # student -> teacher for the next round
     return {"unet": teacher["unet"], "compressor": compressor}

@@ -88,6 +88,27 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
+def sample_crop_batch(
+    imgs: jax.Array, key: jax.Array, batch_size: int, crop: int, hflip: bool
+) -> jax.Array:
+    """(B, crop, crop, C) random crops (+hflip) from an on-device image
+    bank — runs inside a compiled step, no host I/O. Shared by the
+    Trainer and the distillation loop (the axon input path both leaks
+    and bottlenecks; see Trainer.__init__)."""
+    n, H, W, C = imgs.shape
+    kn, kh, kw, kf = jax.random.split(key, 4)
+    idx = jax.random.randint(kn, (batch_size,), 0, n)
+    ys = jax.random.randint(kh, (batch_size,), 0, H - crop + 1)
+    xs = jax.random.randint(kw, (batch_size,), 0, W - crop + 1)
+    crops = jax.vmap(
+        lambda i, y, x: jax.lax.dynamic_slice(imgs[i], (y, x, 0), (crop, crop, C))
+    )(idx, ys, xs)
+    if hflip:
+        flip = jax.random.bernoulli(kf, 0.5, (batch_size,))
+        crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :], crops)
+    return crops
+
+
 class Trainer:
     def __init__(
         self,
@@ -147,22 +168,9 @@ class Trainer:
 
     # -- the jitted step ------------------------------------------------
     def _sample_device_batch(self, key: jax.Array) -> jax.Array:
-        """(B, crop, crop, C) random crops (+hflip) from the on-device
-        image bank — runs inside the compiled step, no host I/O."""
-        imgs = self.device_images
-        n, H, W, C = imgs.shape
-        B, s = self.batch_size, self.crop_size
-        kn, kh, kw, kf = jax.random.split(key, 4)
-        idx = jax.random.randint(kn, (B,), 0, n)
-        ys = jax.random.randint(kh, (B,), 0, H - s + 1)
-        xs = jax.random.randint(kw, (B,), 0, W - s + 1)
-        crops = jax.vmap(
-            lambda i, y, x: jax.lax.dynamic_slice(imgs[i], (y, x, 0), (s, s, C))
-        )(idx, ys, xs)
-        if self.hflip:
-            flip = jax.random.bernoulli(kf, 0.5, (B,))
-            crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :], crops)
-        return crops
+        return sample_crop_batch(
+            self.device_images, key, self.batch_size, self.crop_size, self.hflip
+        )
 
     def _build_step(self):
         engine, cfg, opt = self.engine, self.cfg, self.opt
