@@ -462,7 +462,12 @@ _FOLDED_LN = False
 
 def enable_folded_ln(on: bool) -> None:
     """Route `folding.folded_layer_norm` (and the folded Block's LN+ReLU)
-    through the one-pass Pallas kernel on the TPU bf16 path."""
+    through the one-pass Pallas kernel on the TPU bf16 path.
+
+    Single-device programs only: a pallas_call is an opaque custom call
+    that GSPMD cannot partition, so keep this OFF when tracing the
+    tile-parallel decode (`parallel.tile_decode_fn`) or any pjit-sharded
+    program — the XLA folded-LN path is the sharded one."""
     global _FOLDED_LN
     _FOLDED_LN = bool(on)
 
