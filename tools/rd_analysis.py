@@ -27,6 +27,10 @@ def main():
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--steps", type=int, default=17)
     p.add_argument("--img_dir", default="/root/reference/imgs")
+    p.add_argument("--vbr_scale", type=float, default=None,
+                   help="VBR models: the bitrate_scale in [0,1] to encode "
+                        "at (sweep this flag over one checkpoint for a "
+                        "one-model RD curve; CDC2 container records it)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -41,14 +45,20 @@ def main():
     from cdc_compression_tpu.utils.metrics import ms_ssim, psnr
     from cdc_compression_tpu.utils.presets import epsilon_family, x_family
 
+    vbr = args.vbr_scale is not None
+    if vbr and args.family != "epsilon":
+        raise SystemExit("--vbr_scale is an epsilon-family capability")
     fam = epsilon_family if args.family == "epsilon" else x_family
-    engine = fam(dim=args.dim, aux_loss_weight=0.0)
+    kw = {"vbr": True} if vbr else {}
+    engine = fam(dim=args.dim, aux_loss_weight=0.0, **kw)
     params = load_params(args.ckpt, engine, use_ema=args.use_ema)
     codec = ImageCodec(engine, params)
     rows = []
+    cond0 = None if not vbr else jnp.full((1,), args.vbr_scale, jnp.float32)
     analytic_jit = jax.jit(
-        lambda p, im: engine.compressor.apply(p, im)["bpp"]
+        lambda p, im: engine.compressor.apply(p, im, cond0)["bpp"]
     )
+    header_len = 25 if vbr else 21  # CDC2 appends the f32 bitrate_scale
     for name in sorted(os.listdir(args.img_dir)):
         if not name.endswith((".png", ".jpg")):
             continue
@@ -59,8 +69,8 @@ def main():
         img = raw.astype(np.float32) / 255.0
         x = jnp.asarray(img)[None] * 2 - 1
         analytic = float(analytic_jit(params["compressor"], x)[0])
-        data = codec.encode(img)
-        real_payload = (len(data) - 21) * 8 / (H * W)  # minus container header
+        data = codec.encode(img, bitrate_scale=args.vbr_scale)
+        real_payload = (len(data) - header_len) * 8 / (H * W)  # minus container header
         real_total = len(data) * 8 / (H * W)
         out = codec.decode(
             data, sample_steps=args.steps, gamma=0.8,
@@ -84,7 +94,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"images": rows, "mean": mean,
                        "ckpt": args.ckpt, "use_ema": args.use_ema,
-                       "steps": args.steps, "family": args.family}, f, indent=1)
+                       "steps": args.steps, "family": args.family,
+                       "vbr_scale": args.vbr_scale}, f, indent=1)
             f.write("\n")
         print("wrote", args.out)
 
