@@ -38,6 +38,14 @@ def main(argv=None):
                    help="upload the (small, equal-size) dataset once and "
                         "sample crops inside the compiled step — required "
                         "for long TPU runs (axon input-transfer leak)")
+    p.add_argument("--base_steps", type=int, default=None,
+                   help="distill the deployed N-step DDIM sampler instead of "
+                        "the full-T grid: round k trains the (N-1)/2^k+1-step "
+                        "schedule, halving decode steps per round (17->9->5). "
+                        "Use N = m*2^kiter + 1.")
+    p.add_argument("--save_rounds", action="store_true",
+                   help="also write {out}.k{K}.npz after each round (e.g. the "
+                        "9-step student from a 17->9->5 run)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -71,12 +79,21 @@ def main(argv=None):
                           img_size=args.img_size)
         data_iter = iter(Loader(ds, args.batch_size, host_id=jax.process_index(),
                                 num_hosts=jax.process_count()))
+    save_round_fn = None
+    if args.save_rounds:
+        def save_round_fn(k, tree):
+            path = f"{args.out}.k{k}.npz"
+            np.savez(path,
+                     params=np.asarray(jax.tree.map(np.asarray, tree),
+                                       dtype=object))
+            print(f"wrote round-{k} student {path}", flush=True)
     out = distill(
         engine, params, data_iter,
         kiter=args.kiter, steps_per_round=args.steps_per_round, lr=args.lr,
         device_images=device_images, batch_size=args.batch_size,
         crop_size=args.img_size, hflip=args.hflip, bf16=args.bf16,
-        steps_per_call=args.steps_per_call,
+        steps_per_call=args.steps_per_call, base_steps=args.base_steps,
+        save_round_fn=save_round_fn,
     )
     np.savez(args.out, params=np.asarray(jax.tree.map(np.asarray, out), dtype=object))
     print(f"wrote {args.out}")

@@ -25,12 +25,30 @@ from .gaussian import GaussianDiffusion
 
 
 class DistillDiffusion:
-    def __init__(self, engine: GaussianDiffusion):
+    """`base_steps=None` reproduces the reference grid (stride 2^k over the
+    full T, `distill_diffusion.py:233-319`). `base_steps=N` distills the
+    DEPLOYED N-step DDIM sampler instead: round k's teacher grid is the
+    `(N-1)/2^k + 1`-step `linspace(0, T-1, n)` schedule — exactly what
+    `make_sample_schedule` decodes with — so each round halves the decode
+    step count (17 → 9 → 5 → 3) and the student's training grid IS its
+    inference schedule. The grids nest: `linspace(0,T-1,2n-1)[::2] ==
+    linspace(0,T-1,n)` elementwise for integer grids, so the promoted
+    student always trains on points of its teacher's grid."""
+
+    def __init__(self, engine: GaussianDiffusion, base_steps: int | None = None):
         self.engine = engine
+        self.base_steps = base_steps
 
     def _grid(self, k: int) -> np.ndarray:
         T = self.engine.cfg.num_timesteps
-        return np.arange(0, T, 2 ** k, dtype=np.int64)
+        if self.base_steps is None:
+            return np.arange(0, T, 2 ** k, dtype=np.int64)
+        n = (self.base_steps - 1) // (2 ** k) + 1
+        if (self.base_steps - 1) % (2 ** k):
+            raise ValueError(
+                f"base_steps-1 ({self.base_steps - 1}) must be divisible by "
+                f"2^k for round k={k} (use N = m*2^kiter + 1, e.g. 17)")
+        return np.linspace(0, T - 1, n).astype(np.int64)
 
     def loss(
         self,
@@ -137,6 +155,8 @@ def distill(
     bf16: bool = False,
     steps_per_call: int = 1,
     log_every: int = 500,
+    base_steps: int | None = None,
+    save_round_fn=None,
 ):
     """Outer loop (`distill_trainer.py:118-175`): for each k round copy
     teacher->student, train the student at stride 2^k, then promote.
@@ -155,7 +175,7 @@ def distill(
         "pass exactly one of data_iter / device_images"
     )
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    dd = DistillDiffusion(engine)
+    dd = DistillDiffusion(engine, base_steps=base_steps)
     teacher = {"unet": params["unet"]}
     compressor = params["compressor"]
     dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -216,4 +236,6 @@ def distill(
                     print(f"round k={k} step {i}: loss={float(loss):.4g}",
                           flush=True)
         teacher = student  # student -> teacher for the next round
+        if save_round_fn is not None:
+            save_round_fn(k, {"unet": teacher["unet"], "compressor": compressor})
     return {"unet": teacher["unet"], "compressor": compressor}

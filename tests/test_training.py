@@ -269,6 +269,38 @@ class TestDistill:
         d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), s2, student)
         assert max(jax.tree_util.tree_leaves(d)) > 0
 
+    def test_base_steps_grids_nest_and_match_sampler(self):
+        """Deployed-sampler mode: round-k grid == the (N-1)/2^k+1-step DDIM
+        schedule, and successive grids nest (teacher[::2] == student grid)."""
+        from cdc_compression_tpu.ops.schedules import make_sample_schedule
+
+        engine = tiny_engine()
+        dd = DistillDiffusion(engine, base_steps=17)
+        g0, g1, g2 = dd._grid(0), dd._grid(1), dd._grid(2)
+        assert (len(g0), len(g1), len(g2)) == (17, 9, 5)
+        np.testing.assert_array_equal(g0[::2], g1)
+        np.testing.assert_array_equal(g1[::2], g2)
+        for g, n in ((g0, 17), (g1, 9), (g2, 5)):
+            np.testing.assert_array_equal(
+                g, np.asarray(make_sample_schedule(engine.train_sched, n).index))
+        with pytest.raises(ValueError):
+            DistillDiffusion(engine, base_steps=16)._grid(1)
+
+    def test_base_steps_round_runs(self):
+        engine = tiny_engine()
+        params = tiny_params(engine)
+        dd = DistillDiffusion(engine, base_steps=17)
+        import optax
+
+        opt = optax.adam(1e-3)
+        student = {"unet": params["unet"]}
+        opt_state = opt.init(student)
+        step = dd.make_round_step(opt, k=1)  # 9-step student vs 17-step teacher
+        imgs = jnp.asarray(next(batches())) * 2 - 1
+        s2, _, loss = step(student, opt_state, {"unet": params["unet"]},
+                           params["compressor"], imgs, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
 
 class TestAutoencoder:
     def test_ae_roundtrip_shapes_and_kl(self):
