@@ -63,6 +63,18 @@ step 20.1 ms at the time):
   program — the [512,8,97,64]-style conv shapes come from the conv
   emitter itself, not the SpaceToBatchConverter pass.
 
+Round-4 pass — `fused_folded_layernorm` at 2K folded shapes (the one
+configuration the r3 perf-bar accounting left open): MEASURED SLOWER,
+217.8 ms/step vs 168.4 with it off (1536x2048, 17-step bf16, 51-step
+paired hlo_stats). The kernel itself wins its op (~2.0 ms/call vs ~2.6
+for XLA's split stats+normalize) but the custom-call boundary forces
+relayouts in the surrounding folded convs (down_0 convs 2.7 -> 12.2
+ms each, conv bucket 50.2 -> 140.7 ms): net -49 ms/step for ~+6 ms of
+LN wins. Same mechanism as the r1 768x512 fused_layernorm rejection —
+on XLA:TPU an opaque kernel between convs costs more in lost
+conv/layout pipelining than any elementwise win repays. OFF by
+default; PERF.md re-sets the 2K bar accordingly (53.5 µs/Mpx floor).
+
 Numerics match `models.layers.Block` (fp32 LN statistics) — asserted in
 tests/test_pallas.py against the XLA path in interpret mode on CPU.
 """
