@@ -119,3 +119,25 @@ class TestTemporalAndMisc:
         b = stack(_seq(n=6), np.random.RandomState(7))
         np.testing.assert_array_equal(a, b)
         assert a.shape == (2, 8, 8, 3)
+
+
+class TestSynthImage:
+    def test_render_is_deterministic_and_matches_committed_png(self):
+        """The committed held-out eval image (runs/data_heldout/synth1.png)
+        must stay reproducible from tools/synth_image.py — RD held-out
+        columns cite it as provably outside every training set."""
+        import hashlib
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+        from synth_image import render
+
+        a = render()
+        assert a.shape == (512, 768, 3) and a.dtype == np.uint8
+        assert hashlib.sha256(a.tobytes()).hexdigest().startswith("6bc12ca84a9f7c9b")
+        png = pathlib.Path(__file__).parent.parent / "runs/data_heldout/synth1.png"
+        if png.exists():
+            from PIL import Image
+
+            np.testing.assert_array_equal(np.asarray(Image.open(png)), a)
