@@ -111,23 +111,10 @@ class ImageCodec:
         return comp.apply(self.params["compressor"], q_hyper, cond, method=run)
 
     # ---- public API ----------------------------------------------------
-    def encode(self, image: np.ndarray, bitrate_scale: Optional[float] = None) -> bytes:
-        """image: (H,W,3) float in [0,1] -> .cdc bytes. `bitrate_scale`
-        (VBR models only) conditions the transforms and is recorded in
-        the header."""
-        H, W = image.shape[:2]
-        comp = self.engine.compressor
-        if H % comp.hyper_downsample or W % comp.hyper_downsample:
-            raise ValueError(
-                f"image {H}x{W} not a multiple of the hyper stride "
-                f"{comp.hyper_downsample} (pad first)"
-            )
-        x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
-        cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
-        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
-        assert q_hyper.shape[1:3] == (H // comp.hyper_downsample, W // comp.hyper_downsample)
-        assert q_latent.shape[1:3] == (H // comp.latent_downsample, W // comp.latent_downsample)
-
+    def _pack_one(
+        self, H, W, q_hyper, q_latent, mean, scale, bitrate_scale
+    ) -> bytes:
+        """Entropy-code ONE image's (1,...) arrays into .cdc bytes."""
         med = self.tables.medians.reshape(1, 1, 1, -1)
         h_sym = np.round(q_hyper - med).astype(np.int32)
         h_idx = np.broadcast_to(
@@ -147,9 +134,60 @@ class ImageCodec:
             )
         return header + h_bytes + l_bytes
 
-    def decode_latents(self, data: bytes):
-        """bytes -> (q_hyper, q_latent) device tensors + (H, W) +
-        bitrate_scale (None unless a VBR stream)."""
+    def encode(self, image: np.ndarray, bitrate_scale: Optional[float] = None) -> bytes:
+        """image: (H,W,3) float in [0,1] -> .cdc bytes. `bitrate_scale`
+        (VBR models only) conditions the transforms and is recorded in
+        the header."""
+        H, W = image.shape[:2]
+        comp = self.engine.compressor
+        if H % comp.hyper_downsample or W % comp.hyper_downsample:
+            raise ValueError(
+                f"image {H}x{W} not a multiple of the hyper stride "
+                f"{comp.hyper_downsample} (pad first)"
+            )
+        x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
+        cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
+        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
+        assert q_hyper.shape[1:3] == (H // comp.hyper_downsample, W // comp.hyper_downsample)
+        assert q_latent.shape[1:3] == (H // comp.latent_downsample, W // comp.latent_downsample)
+        return self._pack_one(H, W, q_hyper, q_latent, mean, scale, bitrate_scale)
+
+    def encode_batch(
+        self, images, bitrate_scales=None
+    ) -> list:
+        """Batched serving encode: list of same-shape (H,W,3) images ->
+        list of .cdc payloads via ONE device dispatch for the whole
+        batch (per-dispatch link latency dominates serving wall through
+        a remote-device tunnel — PERF.md serving table), then per-image
+        host rANS. Bitstreams are byte-identical to per-image
+        `encode`'s: the analysis transform is batch-independent and the
+        rate path is fp32 on every configuration.
+
+        `bitrate_scales` (VBR models): one float per image, or None."""
+        H, W = images[0].shape[:2]
+        for im in images:
+            if im.shape[:2] != (H, W):
+                raise ValueError("encode_batch requires same-shape images")
+        x = jnp.asarray(np.stack(images), jnp.float32) * 2.0 - 1.0
+        if bitrate_scales is None:
+            cond = None
+        else:
+            if len(bitrate_scales) != len(images):
+                raise ValueError("need one bitrate_scale per image")
+            cond = jnp.asarray(bitrate_scales, jnp.float32)
+        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
+        return [
+            self._pack_one(
+                H, W, q_hyper[i : i + 1], q_latent[i : i + 1],
+                mean[i : i + 1], scale[i : i + 1],
+                None if bitrate_scales is None else bitrate_scales[i],
+            )
+            for i in range(len(images))
+        ]
+
+    @staticmethod
+    def _parse_container(data: bytes):
+        """.cdc bytes -> (H, W, h_bytes, l_bytes, bitrate_scale|None)."""
         magic = data[:4]
         assert magic in (_MAGIC, _MAGIC_VBR), "bad magic"
         H, W, _, n_h, n_l = struct.unpack("<IIBII", data[4:21])
@@ -160,7 +198,10 @@ class ImageCodec:
             off += 4
         h_bytes = data[off : off + n_h]
         l_bytes = data[off + n_h : off + n_h + n_l]
+        return H, W, h_bytes, l_bytes, bitrate_scale
 
+    def _decode_hyper_symbols(self, H: int, W: int, h_bytes: bytes) -> np.ndarray:
+        """hyper stream -> (1,hh,hw,C) float array of dequantized values."""
         C_hyper = self.tables.medians.shape[0]
         ds = self.engine.compressor.hyper_downsample
         hh, hw = H // ds, W // ds
@@ -169,7 +210,13 @@ class ImageCodec:
         )
         h_sym = coder.decode_symbols(h_bytes, h_idx, self.tables.prior).reshape(h_idx.shape)
         med = self.tables.medians.reshape(1, 1, 1, -1)
-        q_hyper = jnp.asarray(h_sym.astype(np.float32) + med)
+        return h_sym.astype(np.float32) + med
+
+    def decode_latents(self, data: bytes):
+        """bytes -> (q_hyper, q_latent) device tensors + (H, W) +
+        bitrate_scale (None unless a VBR stream)."""
+        H, W, h_bytes, l_bytes, bitrate_scale = self._parse_container(data)
+        q_hyper = jnp.asarray(self._decode_hyper_symbols(H, W, h_bytes))
 
         cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
         mean, scale = self._ms_jit(q_hyper, cond)
@@ -247,3 +294,94 @@ class ImageCodec:
             fn = self._decode_cache[key] = jax.jit(run)
         cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
         return np.asarray(fn(self.params, q_latent, rng, jnp.float32(gamma), cond))
+
+    def decode_batch(
+        self,
+        payloads,
+        *,
+        sample_steps: int = 17,
+        gamma: float = 0.8,
+        rngs=None,
+        eta: float = 0.0,
+        compute_dtype=None,
+    ) -> np.ndarray:
+        """Batched serving decode: list of same-shape .cdc payloads ->
+        (B,H,W,3) images via ONE device program. Host rANS decodes each
+        payload's symbols (≤1.2% of wall, PERF.md), the batch is stacked,
+        and a single compiled program runs the batched context decode plus
+        a `lax.map` over per-image DDIM loops — the B=1 conv lowering is
+        the fast one on TPU (`GaussianDiffusion.compress` batch_serial
+        rationale), and one dispatch amortizes the per-dispatch link tax
+        that dominates per-image serving wall through the axon tunnel.
+
+        The symbol/latent path is bit-identical to per-image `decode`
+        (same rANS streams, same fp32 dequantization). The decoded
+        images equal `decode(payloads[i], rng=rngs[i])` up to
+        cross-program float noise: the batched program tiles its convs
+        for shape (B,...) where the per-image program tiles for (1,...),
+        and those reductions can differ by ~1 ulp
+        (tests/test_codec.py::TestBatchedServing). `rngs`: one PRNG key
+        per payload; default `split(PRNGKey(0), B)`. VBR payloads may
+        carry distinct bitrate_scales; mixing VBR and non-VBR payloads
+        in one batch raises."""
+        from ..ops.schedules import make_sample_schedule
+
+        B = len(payloads)
+        parsed = [self._parse_container(d) for d in payloads]
+        H, W = parsed[0][0], parsed[0][1]
+        if any((p[0], p[1]) != (H, W) for p in parsed):
+            raise ValueError("decode_batch requires same-shape payloads")
+        n_vbr = sum(p[4] is not None for p in parsed)
+        if n_vbr not in (0, B):
+            raise ValueError("decode_batch cannot mix VBR and non-VBR payloads")
+
+        q_hyper = jnp.asarray(
+            np.concatenate([self._decode_hyper_symbols(H, W, p[2]) for p in parsed])
+        )
+        cond = (
+            None if n_vbr == 0
+            else jnp.asarray([p[4] for p in parsed], jnp.float32)
+        )
+        mean, scale = map(np.asarray, self._ms_jit(q_hyper, cond))
+        q_latent = np.empty_like(mean)
+        for i, p in enumerate(parsed):
+            l_idx = coder.scale_indexes(scale[i : i + 1])
+            l_sym = coder.decode_symbols(p[3], l_idx, self.tables.gaussian)
+            q_latent[i] = l_sym.reshape(mean.shape[1:]).astype(np.float32) + mean[i]
+
+        if rngs is None:
+            rngs = jax.random.split(jax.random.PRNGKey(0), B)
+        keys = jnp.stack([jnp.asarray(k) for k in rngs])
+
+        shape1 = (1, H, W, 3)
+        key = ("batch", B, shape1, int(sample_steps), float(eta),
+               compute_dtype, cond is None)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            sched = make_sample_schedule(self.engine.train_sched, sample_steps)
+            cfg = self.engine.cfg
+            clip = cfg.clip_noise if cfg.pred_mode == "noise" else True
+
+            def run(params, ql, ks, g, c):
+                context = self.engine.compressor.apply(
+                    params["compressor"], ql, c, method="decode"
+                )
+
+                def body(args):
+                    ctx_i, ki = args
+                    k_init, k_loop = jax.random.split(ki)
+                    init = jax.random.normal(k_init, shape1) * g
+                    out = self.engine.p_sample_loop(
+                        params, shape1, [cc[None] for cc in ctx_i], sched,
+                        k_loop, sample_mode="ddim", clip_denoised=clip,
+                        init=init, eta=eta, compute_dtype=compute_dtype,
+                    )
+                    return out[0]
+
+                decoded = jax.lax.map(body, (tuple(context), ks))
+                return jnp.clip(decoded, -1, 1) / 2.0 + 0.5
+
+            fn = self._decode_cache[key] = jax.jit(run)
+        return np.asarray(
+            fn(self.params, jnp.asarray(q_latent), keys, jnp.float32(gamma), cond)
+        )

@@ -156,6 +156,64 @@ class TestBitstream:
             small_codec.decode_latents(bytes(data))
 
 
+class TestBatchedServing:
+    """Batched serving path: one device dispatch per batch. The
+    bitstream/latent path is bit-identical to the per-image API;
+    decoded images match up to cross-program float noise (the batched
+    program tiles convs for (B,...) vs the per-image (1,...) program —
+    an iterated DDIM loop on an UNTRAINED net amplifies that ~1-ulp
+    noise chaotically, so image parity is asserted at 1 denoise step
+    where the comparison is well-conditioned)."""
+
+    def test_encode_batch_bytes_match_per_image(self, small_codec):
+        rng = np.random.RandomState(4)
+        imgs = [rng.rand(64, 64, 3).astype(np.float32) for _ in range(3)]
+        batched = small_codec.encode_batch(imgs)
+        singles = [small_codec.encode(im) for im in imgs]
+        assert batched == singles
+
+    def test_decode_batch_matches_per_image(self, small_codec):
+        rng = np.random.RandomState(5)
+        imgs = [rng.rand(64, 64, 3).astype(np.float32) for _ in range(2)]
+        payloads = small_codec.encode_batch(imgs)
+        keys = [jax.random.PRNGKey(11), jax.random.PRNGKey(22)]
+        got = small_codec.decode_batch(payloads, sample_steps=1, rngs=keys)
+        assert got.shape == (2, 64, 64, 3)
+        for i, (p, k) in enumerate(zip(payloads, keys)):
+            want = small_codec.decode(p, sample_steps=1, rng=k)
+            # measured cross-program noise on this untrained net: 2.4e-4
+            # max over 0.2% of pixels (LN stats amplify conv tiling ulps)
+            np.testing.assert_allclose(got[i], want, atol=1e-3)
+
+    def test_decode_batch_rows_independent(self, small_codec):
+        """Within ONE compiled batch program: duplicate (payload, key)
+        rows must decode bit-identically (the lax.map body is
+        deterministic and rows don't couple), and the multi-step path
+        runs end to end."""
+        rng = np.random.RandomState(7)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        (p,) = small_codec.encode_batch([img])
+        k = jax.random.PRNGKey(3)
+        got = small_codec.decode_batch([p, p], sample_steps=3, rngs=[k, k])
+        np.testing.assert_array_equal(got[0], got[1])
+
+    def test_decode_batch_guards(self, small_codec):
+        rng = np.random.RandomState(6)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        data = small_codec.encode(img)
+        with pytest.raises(ValueError, match="same-shape"):
+            small_codec.encode_batch([img, img[:32]])
+        # a fake VBR payload mixed with a plain one must raise
+        from cdc_compression_tpu.entropy import codec as codec_mod
+        import struct as _s
+        H, W, h_b, l_b, _ = codec_mod.ImageCodec._parse_container(data)
+        vbr = (codec_mod._MAGIC_VBR
+               + _s.pack("<IIBIIf", H, W, 0, len(h_b), len(l_b), 1.0)
+               + h_b + l_b)
+        with pytest.raises(ValueError, match="mix"):
+            small_codec.decode_batch([data, vbr], sample_steps=2)
+
+
 class TestSequenceDatasets:
     def test_frame_sequence_dataset(self, tmp_path):
         from PIL import Image

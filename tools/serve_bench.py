@@ -39,6 +39,10 @@ def main():
     p.add_argument("--img_dir", default="/root/reference/imgs")
     p.add_argument("--hw2k", action="store_true",
                    help="also measure a tiled 1536x2048 (2K) image")
+    p.add_argument("--batch", type=int, nargs="*", default=[],
+                   help="also measure encode_batch/decode_batch at these "
+                        "batch sizes (ONE device dispatch per batch — "
+                        "amortizes the per-dispatch tunnel tax)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -136,6 +140,53 @@ def main():
             "bytes_per_image": sum(len(d) for d in payloads) / len(payloads),
         }
         print(label, json.dumps(results[label], indent=1), flush=True)
+
+        for B in args.batch:
+            # same-shape batches: tile/rotate the image list up to B,
+            # perturbing each copy so async dedup can't fake results
+            rng = np.random.RandomState(0)
+            def mk_batch(r):
+                return [
+                    np.clip(images[(r + i) % len(images)]
+                            + rng.uniform(-1e-3, 1e-3, images[0].shape)
+                            .astype(np.float32), 0, 1)
+                    for i in range(B)
+                ]
+            batches = [mk_batch(r) for r in range(args.reps)]
+            # warm
+            pay0 = codec.encode_batch(batches[0])
+            codec.decode_batch(pay0, sample_steps=args.steps,
+                               compute_dtype=jnp.bfloat16)
+
+            host_coder_s[0] = 0.0
+            t0 = time.perf_counter()
+            pay = [codec.encode_batch(b) for b in batches]
+            enc_wall = time.perf_counter() - t0
+            enc_host = host_coder_s[0]
+
+            host_coder_s[0] = 0.0
+            t0 = time.perf_counter()
+            for r, pb in enumerate(pay):
+                codec.decode_batch(
+                    pb, sample_steps=args.steps,
+                    rngs=list(jax.random.split(jax.random.PRNGKey(r), B)),
+                    compute_dtype=jnp.bfloat16)
+            dec_wall = time.perf_counter() - t0
+            dec_host = host_coder_s[0]
+
+            nB = args.reps * B
+            results[f"{label}_batch{B}"] = {
+                "n_images": nB,
+                "steps": args.steps,
+                "encode_images_per_s": nB / enc_wall,
+                "encode_ms_per_image": 1e3 * enc_wall / nB,
+                "encode_host_rans_share_pct": 100 * enc_host / enc_wall,
+                "decode_images_per_s": nB / dec_wall,
+                "decode_ms_per_image": 1e3 * dec_wall / nB,
+                "decode_host_rans_share_pct": 100 * dec_host / dec_wall,
+            }
+            print(f"{label}_batch{B}",
+                  json.dumps(results[f"{label}_batch{B}"], indent=1), flush=True)
 
     coder.encode_symbols, coder.decode_symbols = orig_enc, orig_dec
     if args.out:
