@@ -39,6 +39,12 @@ _MAGIC = b"CDC1"
 _MAGIC_VBR = b"CDC2"
 
 
+def _to_uint8(img):
+    """[0,1] float image -> uint8 on device (round-half-even, matching
+    host `np.round(x*255)` exactly)."""
+    return jnp.round(img * 255.0).astype(jnp.uint8)
+
+
 @dataclass
 class CodecTables:
     """Static per-model tables; build once per checkpoint."""
@@ -75,6 +81,16 @@ class ImageCodec:
         self.params = params
         self.tables = tables or CodecTables.build(engine.compressor, params["compressor"])
         self._encode_jit = jax.jit(self._encode_device)
+        # uint8 ingest: ship 1 byte/channel over the link and normalize
+        # on device — bitwise the same [-1,1] values as the host float
+        # path ((u8/255)*2-1 in fp32 both ways), so bitstreams are
+        # byte-identical. 4x fewer input bytes through a transfer-bound
+        # link (PERF.md serving table).
+        self._encode_u8_jit = jax.jit(
+            lambda u8, cond: self._encode_device(
+                u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0, cond
+            )
+        )
         self._ctx_jit = jax.jit(self._context_device)
         self._ms_jit = jax.jit(self._mean_scale_device)
         self._decode_cache = {}
@@ -135,9 +151,11 @@ class ImageCodec:
         return header + h_bytes + l_bytes
 
     def encode(self, image: np.ndarray, bitrate_scale: Optional[float] = None) -> bytes:
-        """image: (H,W,3) float in [0,1] -> .cdc bytes. `bitrate_scale`
-        (VBR models only) conditions the transforms and is recorded in
-        the header."""
+        """image: (H,W,3) float in [0,1] OR uint8 -> .cdc bytes. uint8
+        input is shipped as-is and normalized on device (bitstreams are
+        byte-identical to the float path for the same pixels).
+        `bitrate_scale` (VBR models only) conditions the transforms and
+        is recorded in the header."""
         H, W = image.shape[:2]
         comp = self.engine.compressor
         if H % comp.hyper_downsample or W % comp.hyper_downsample:
@@ -145,9 +163,13 @@ class ImageCodec:
                 f"image {H}x{W} not a multiple of the hyper stride "
                 f"{comp.hyper_downsample} (pad first)"
             )
-        x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
         cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
-        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
+        if image.dtype == np.uint8:
+            out = self._encode_u8_jit(jnp.asarray(image)[None], cond)
+        else:
+            x = jnp.asarray(image, jnp.float32)[None] * 2.0 - 1.0
+            out = self._encode_jit(x, cond)
+        q_hyper, q_latent, mean, scale = map(np.asarray, out)
         assert q_hyper.shape[1:3] == (H // comp.hyper_downsample, W // comp.hyper_downsample)
         assert q_latent.shape[1:3] == (H // comp.latent_downsample, W // comp.latent_downsample)
         return self._pack_one(H, W, q_hyper, q_latent, mean, scale, bitrate_scale)
@@ -155,11 +177,12 @@ class ImageCodec:
     def encode_batch(
         self, images, bitrate_scales=None
     ) -> list:
-        """Batched serving encode: list of same-shape (H,W,3) images ->
-        list of .cdc payloads via ONE device dispatch for the whole
-        batch (per-dispatch link latency dominates serving wall through
-        a remote-device tunnel — PERF.md serving table), then per-image
-        host rANS. Bitstreams are byte-identical to per-image
+        """Batched serving encode: list of same-shape (H,W,3) images
+        (float [0,1], or uint8 shipped raw and normalized on device —
+        4x fewer input bytes) -> list of .cdc payloads via ONE device
+        dispatch for the whole batch (per-dispatch link latency
+        dominates serving wall through a remote-device tunnel — PERF.md
+        serving table), then per-image host rANS. Bitstreams are byte-identical to per-image
         `encode`'s: the analysis transform is batch-independent and the
         rate path is fp32 on every configuration.
 
@@ -168,14 +191,18 @@ class ImageCodec:
         for im in images:
             if im.shape[:2] != (H, W):
                 raise ValueError("encode_batch requires same-shape images")
-        x = jnp.asarray(np.stack(images), jnp.float32) * 2.0 - 1.0
         if bitrate_scales is None:
             cond = None
         else:
             if len(bitrate_scales) != len(images):
                 raise ValueError("need one bitrate_scale per image")
             cond = jnp.asarray(bitrate_scales, jnp.float32)
-        q_hyper, q_latent, mean, scale = map(np.asarray, self._encode_jit(x, cond))
+        stacked = np.stack(images)
+        if stacked.dtype == np.uint8:
+            out = self._encode_u8_jit(jnp.asarray(stacked), cond)
+        else:
+            out = self._encode_jit(jnp.asarray(stacked, jnp.float32) * 2.0 - 1.0, cond)
+        q_hyper, q_latent, mean, scale = map(np.asarray, out)
         return [
             self._pack_one(
                 H, W, q_hyper[i : i + 1], q_latent[i : i + 1],
@@ -235,8 +262,12 @@ class ImageCodec:
         rng: Optional[jax.Array] = None,
         eta: float = 0.0,
         compute_dtype=None,
+        output_uint8: bool = False,
     ) -> np.ndarray:
-        """bytes -> (H,W,3) float image in [0,1] via the DDIM loop."""
+        """bytes -> (H,W,3) image via the DDIM loop: float in [0,1], or
+        uint8 quantized ON DEVICE when `output_uint8` (4x fewer output
+        bytes over a transfer-bound link; equals
+        `round(clip(float_out)*255)`)."""
         from ..ops.schedules import make_sample_schedule
 
         rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -244,7 +275,7 @@ class ImageCodec:
         return self.decode_from_latents(
             q_latent, (H, W), sample_steps=sample_steps, gamma=gamma,
             rng=rng, eta=eta, compute_dtype=compute_dtype,
-            bitrate_scale=bitrate_scale,
+            bitrate_scale=bitrate_scale, output_uint8=output_uint8,
         )
 
     def decode_from_latents(
@@ -258,6 +289,7 @@ class ImageCodec:
         eta: float = 0.0,
         compute_dtype=None,
         bitrate_scale: Optional[float] = None,
+        output_uint8: bool = False,
     ) -> np.ndarray:
         """(q_latent, (H, W)) -> image; the jitted synthesis + DDIM
         program shared by `decode` (bitstream path) and by callers that
@@ -271,7 +303,8 @@ class ImageCodec:
         # transform + gamma-scaled init + the whole DDIM scan. Without
         # this, each op dispatches individually — orders of magnitude
         # slower over a remote-device (axon) link.
-        key = (shape, int(sample_steps), float(eta), compute_dtype, bitrate_scale is None)
+        key = (shape, int(sample_steps), float(eta), compute_dtype,
+               bitrate_scale is None, output_uint8)
         fn = self._decode_cache.get(key)
         if fn is None:
             sched = make_sample_schedule(self.engine.train_sched, sample_steps)
@@ -289,7 +322,8 @@ class ImageCodec:
                     sample_mode="ddim", clip_denoised=clip, init=init, eta=eta,
                     compute_dtype=compute_dtype,
                 )
-                return jnp.clip(decoded, -1, 1)[0] / 2.0 + 0.5
+                img = jnp.clip(decoded, -1, 1)[0] / 2.0 + 0.5
+                return _to_uint8(img) if output_uint8 else img
 
             fn = self._decode_cache[key] = jax.jit(run)
         cond = None if bitrate_scale is None else jnp.full((1,), bitrate_scale, jnp.float32)
@@ -304,9 +338,12 @@ class ImageCodec:
         rngs=None,
         eta: float = 0.0,
         compute_dtype=None,
+        output_uint8: bool = False,
     ) -> np.ndarray:
         """Batched serving decode: list of same-shape .cdc payloads ->
-        (B,H,W,3) images via ONE device program. Host rANS decodes each
+        (B,H,W,3) images via ONE device program ([0,1] float, or uint8
+        quantized on device when `output_uint8` — 4x fewer output bytes
+        over a transfer-bound link). Host rANS decodes each
         payload's symbols (≤1.2% of wall, PERF.md), the batch is stacked,
         and a single compiled program runs the batched context decode plus
         a `lax.map` over per-image DDIM loops — the B=1 conv lowering is
@@ -355,7 +392,7 @@ class ImageCodec:
 
         shape1 = (1, H, W, 3)
         key = ("batch", B, shape1, int(sample_steps), float(eta),
-               compute_dtype, cond is None)
+               compute_dtype, cond is None, output_uint8)
         fn = self._decode_cache.get(key)
         if fn is None:
             sched = make_sample_schedule(self.engine.train_sched, sample_steps)
@@ -379,7 +416,8 @@ class ImageCodec:
                     return out[0]
 
                 decoded = jax.lax.map(body, (tuple(context), ks))
-                return jnp.clip(decoded, -1, 1) / 2.0 + 0.5
+                img = jnp.clip(decoded, -1, 1) / 2.0 + 0.5
+                return _to_uint8(img) if output_uint8 else img
 
             fn = self._decode_cache[key] = jax.jit(run)
         return np.asarray(

@@ -185,6 +185,26 @@ class TestBatchedServing:
             # max over 0.2% of pixels (LN stats amplify conv tiling ulps)
             np.testing.assert_allclose(got[i], want, atol=1e-3)
 
+    def test_uint8_io_matches_float_path(self, small_codec):
+        """uint8 ingest (normalized on device) must produce byte-identical
+        bitstreams to the float path on the same pixels, and
+        output_uint8 must equal host-side round(clip(float)*255)."""
+        rng = np.random.RandomState(8)
+        u8 = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        img = u8.astype(np.float32) / 255.0
+        assert small_codec.encode(u8) == small_codec.encode(img)
+        assert small_codec.encode_batch([u8]) == [small_codec.encode(img)]
+
+        data = small_codec.encode(img)
+        k = jax.random.PRNGKey(5)
+        f = small_codec.decode(data, sample_steps=2, rng=k)
+        q = small_codec.decode(data, sample_steps=2, rng=k, output_uint8=True)
+        assert q.dtype == np.uint8
+        np.testing.assert_array_equal(q, np.round(f * 255).astype(np.uint8))
+        qb = small_codec.decode_batch([data], sample_steps=2, rngs=[k],
+                                      output_uint8=True)
+        assert qb.dtype == np.uint8 and qb.shape == (1, 64, 64, 3)
+
     def test_decode_batch_rows_independent(self, small_codec):
         """Within ONE compiled batch program: duplicate (payload, key)
         rows must decode bit-identically (the lax.map body is

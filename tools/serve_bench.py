@@ -43,6 +43,10 @@ def main():
                    help="also measure encode_batch/decode_batch at these "
                         "batch sizes (ONE device dispatch per batch — "
                         "amortizes the per-dispatch tunnel tax)")
+    p.add_argument("--uint8", action="store_true",
+                   help="uint8 image I/O: ship raw bytes, normalize/"
+                        "quantize on device (4x fewer image bytes over "
+                        "the link; bitstreams unchanged)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -76,6 +80,11 @@ def main():
     if args.hw2k:
         big = [np.tile(im, (3, 3, 1))[:1536, :2048] for im in imgs[:1]]
         variants.append(("1536x2048", big))
+    if args.uint8:
+        variants = [
+            (lbl, [np.round(im * 255).astype(np.uint8) for im in ims])
+            for lbl, ims in variants
+        ]
 
     # instrument the host rANS share by timing coder.encode/decode_symbols
     host_coder_s = [0.0]
@@ -101,7 +110,7 @@ def main():
         # warm both directions (compiles + per-shape jit caches)
         data0 = codec.encode(images[0])
         codec.decode(data0, sample_steps=args.steps, rng=jax.random.PRNGKey(99),
-                     compute_dtype=jnp.bfloat16)
+                     compute_dtype=jnp.bfloat16, output_uint8=args.uint8)
 
         # ---- encode: image -> bytes -----------------------------------
         host_coder_s[0] = 0.0
@@ -121,7 +130,8 @@ def main():
         m = 0
         for i, data in enumerate(payloads):
             codec.decode(data, sample_steps=args.steps,
-                         rng=jax.random.PRNGKey(i), compute_dtype=jnp.bfloat16)
+                         rng=jax.random.PRNGKey(i), compute_dtype=jnp.bfloat16,
+                         output_uint8=args.uint8)
             m += 1
         dec_wall = time.perf_counter() - t0
         dec_host = host_coder_s[0]
@@ -145,18 +155,24 @@ def main():
             # same-shape batches: tile/rotate the image list up to B,
             # perturbing each copy so async dedup can't fake results
             rng = np.random.RandomState(0)
+            def perturb(im):
+                if im.dtype == np.uint8:
+                    return np.clip(
+                        im.astype(np.int16) + rng.randint(-1, 2, im.shape),
+                        0, 255,
+                    ).astype(np.uint8)
+                return np.clip(
+                    im + rng.uniform(-1e-3, 1e-3, im.shape).astype(np.float32),
+                    0, 1,
+                )
             def mk_batch(r):
-                return [
-                    np.clip(images[(r + i) % len(images)]
-                            + rng.uniform(-1e-3, 1e-3, images[0].shape)
-                            .astype(np.float32), 0, 1)
-                    for i in range(B)
-                ]
+                return [perturb(images[(r + i) % len(images)]) for i in range(B)]
             batches = [mk_batch(r) for r in range(args.reps)]
             # warm
             pay0 = codec.encode_batch(batches[0])
             codec.decode_batch(pay0, sample_steps=args.steps,
-                               compute_dtype=jnp.bfloat16)
+                               compute_dtype=jnp.bfloat16,
+                               output_uint8=args.uint8)
 
             host_coder_s[0] = 0.0
             t0 = time.perf_counter()
@@ -170,7 +186,7 @@ def main():
                 codec.decode_batch(
                     pb, sample_steps=args.steps,
                     rngs=list(jax.random.split(jax.random.PRNGKey(r), B)),
-                    compute_dtype=jnp.bfloat16)
+                    compute_dtype=jnp.bfloat16, output_uint8=args.uint8)
             dec_wall = time.perf_counter() - t0
             dec_host = host_coder_s[0]
 
@@ -192,7 +208,7 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"ckpt": args.ckpt, "use_ema": args.use_ema,
-                       "results": results}, f, indent=1)
+                       "uint8_io": args.uint8, "results": results}, f, indent=1)
             f.write("\n")
         print("wrote", args.out)
 
